@@ -1,0 +1,64 @@
+"""fnft-tpu: TPU-native fast (inverse) nonlinear Fourier transforms.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of FNFT
+(reference: IgorChekhovskoy/FNFT, a single-threaded C99 library). The
+public API mirrors the reference's driver surface (see
+``/root/reference/include/fnft_nsev.h`` etc. for the C originals):
+
+* :func:`nsev`          — forward NFT, nonlinear Schroedinger, vanishing BC
+* :func:`nsep`          — forward NFT, NSE, (quasi-)periodic BC
+* :func:`kdvv`          — forward NFT, Korteweg-de Vries, vanishing BC
+* :func:`nsev_inverse`  — inverse NFT, NSE, vanishing BC
+
+Design notes (TPU-first):
+  - Everything is expressed as batched array programs: per-sample transfer
+    matrices are built by a vectorized splitting combinator, multiplied in a
+    log-depth FFT tree, and evaluated on spectral grids with chirp-Z
+    transforms — no per-sample scalar loops.
+  - Options are frozen dataclasses used as static (trace-time) arguments.
+  - All kernels are dtype-polymorphic: complex128 on CPU for reference
+    tolerances, complex64 for maximum TPU throughput.
+  - Batches of signals vmap across examples and shard over device meshes
+    (see :mod:`fnft_tpu.parallel`).
+"""
+
+from fnft_tpu.config import use_x64, default_complex_dtype
+from fnft_tpu.models.discretization import Discretization
+from fnft_tpu.models.nsev import (
+    nsev,
+    NsevOpts,
+    NsevResult,
+    BoundStateFilter,
+    BoundStateLocalization,
+    DiscspecType,
+    ContspecType,
+)
+from fnft_tpu.models.kdvv import kdvv, KdvvOpts, KdvvResult
+from fnft_tpu.models.nsep import (
+    nsep,
+    NsepOpts,
+    NsepResult,
+    PointFilter,
+    Localization,
+)
+from fnft_tpu.models.nsev_inverse import (
+    nsev_inverse,
+    nsev_inverse_xi_grid,
+    NsevInverseOpts,
+    InverseContspecType,
+    InverseCstMethod,
+)
+
+__version__ = "0.1.0"
+FNFT_REFERENCE_VERSION = (0, 4, 1, "")  # parity target: fnft_version.c:26-45
+
+__all__ = [
+    "nsev", "NsevOpts", "NsevResult",
+    "nsep", "NsepOpts", "NsepResult",
+    "kdvv", "KdvvOpts", "KdvvResult",
+    "nsev_inverse", "nsev_inverse_xi_grid", "NsevInverseOpts",
+    "InverseContspecType", "InverseCstMethod",
+    "Discretization", "BoundStateFilter", "BoundStateLocalization",
+    "DiscspecType", "ContspecType", "PointFilter", "Localization",
+    "use_x64", "default_complex_dtype",
+]

@@ -1,0 +1,80 @@
+"""Forward NFT for the Korteweg-de Vries equation, vanishing BCs.
+
+TPU rebuild of fnft_kdvv.c:59-209. KdV maps onto the AKNS system with
+r = -1 (fnft__kdv_fscatter.c:75-76); the reflection coefficient is read off
+the transfer matrix evaluated on the *negated* xi grid:
+
+    rho(xi) = exp(2 i xi' (T1 + c eps)) H12(xi') / (2 i xi' H22(xi') - H12(xi'))
+
+with xi' = -xi (tf2contspec_negxi, fnft_kdvv.c:126-209). The discrete
+spectrum is explicitly "not yet implemented" in the reference
+(fnft_kdvv.c:87-92); a bound-state extension is provided here through the
+generic AKNS machinery in a later milestone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fnft_tpu.config import complex_dtype_of
+from fnft_tpu.errors import check_arg
+from fnft_tpu.models.discretization import Discretization, degree, is_fast
+from fnft_tpu.ops.fscatter import fscatter
+from fnft_tpu.ops.poly import chirpz
+
+BOUNDARY_COEFF = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class KdvvOpts:
+    """Defaults mirror fnft_kdvv_default_opts (fnft_kdvv.c:34-36)."""
+
+    discretization: Discretization = Discretization.SPLIT8B
+
+
+@dataclasses.dataclass
+class KdvvResult:
+    reflection_coefficient: Optional[jnp.ndarray] = None
+
+
+def kdvv(u, t_span, *, m: int, xi_span, opts: KdvvOpts | None = None) -> KdvvResult:
+    """Continuous KdV spectrum (reflection coefficient) on a xi grid."""
+    opts = opts or KdvvOpts()
+    disc = opts.discretization
+    check_arg(is_fast(disc) and degree(disc) > 0,
+              "kdvv requires a fast (2SPLIT) discretization")
+    u = jnp.asarray(u)
+    cdt = complex_dtype_of(u)
+    u = u.astype(cdt)
+    d = u.shape[-1]
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    check_arg(d >= 2 and t0 < t1 and xi0 < xi1 and m >= 2, "invalid grids")
+
+    eps_t = (t1 - t0) / (d - 1)
+    eps_xi = (xi1 - xi0) / (m - 1)
+    deg1 = degree(disc)
+
+    r = -jnp.ones_like(u)
+    tm, _ = fscatter(u, r, eps_t, disc)
+
+    # evaluate H12, H22 at z(-xi_i), xi_i = xi0 + i eps_xi
+    a_pt = complex(np.exp(-2j * xi0 * eps_t / deg1))
+    w_pt = complex(np.exp(-2j * eps_xi * eps_t / deg1))
+    h12 = chirpz(tm[0, 1], a_pt, w_pt, m)
+    h22 = chirpz(tm[1, 1], a_pt, w_pt, m)
+
+    rdt = jnp.real(u).dtype
+    xi_neg = -(xi0 + eps_xi * jnp.arange(m, dtype=rdt))
+    if disc is Discretization.SPLIT2A:
+        # undo the first-order-polynomial trick (fnft_kdvv.c:186-195)
+        sqrt_z = jnp.exp(1j * xi_neg * (eps_t / deg1))
+        h12 = h12 / sqrt_z
+
+    num = jnp.exp(2j * xi_neg * (t1 + BOUNDARY_COEFF * eps_t)) * h12
+    den = 2j * xi_neg * h22 - h12
+    return KdvvResult(reflection_coefficient=num / den)

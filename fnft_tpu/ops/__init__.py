@@ -1,0 +1,11 @@
+from fnft_tpu.ops.poly import (  # noqa: F401
+    fmult,
+    fmult2x2,
+    fmult2x2_tree,
+    chirpz,
+    poly_eval,
+    poly_evalderiv,
+)
+from fnft_tpu.ops.roots import poly_roots, aberth_roots  # noqa: F401
+from fnft_tpu.ops.gridsearch import roots_fftgridsearch, roots_fftgridsearch_paraherm  # noqa: F401
+from fnft_tpu.ops.specfact import poly_specfact  # noqa: F401

@@ -1,0 +1,254 @@
+"""Polynomial kernels: FFT-tree products, chirp-Z evaluation, Horner.
+
+TPU-native rebuild of the reference's L2 layer
+(src/private/fnft__poly_fmult.c, fnft__poly_chirpz.c, fnft__poly_eval.c).
+
+Conventions (deliberately different from the C reference, which stores
+coefficients in descending order):
+
+* Polynomial coefficients are stored in **ascending** order along the last
+  axis: ``p[..., k]`` is the coefficient of ``z^k``.
+* A stack of 2x2 polynomial matrices has shape ``[..., n, 2, 2, deg+1]``.
+* Matrix stacks are in natural time order; the tree computes
+  ``P = M[n-1] @ ... @ M[1] @ M[0]`` (later samples multiply from the left),
+  matching the scattering-matrix composition in fnft__akns_fscatter.c:919.
+
+Normalization: with ``normalize=True`` every intermediate pair-product is
+rescaled by an integer power of two so coefficients stay O(1); the returned
+``w`` satisfies ``true = stored * 2**w`` (reference semantics:
+fnft__poly_fmult.c:123-150, 330-374).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fnft_tpu.config import complex_dtype_of
+from fnft_tpu.utils.misc import next_fft_length, next_power_of_2
+
+
+# ---------------------------------------------------------------------------
+# FFT-tree polynomial multiplication
+# ---------------------------------------------------------------------------
+
+def _rescale_exponents(coeffs, axes) -> jnp.ndarray:
+    """Integer exponents a with 2**a ~ max|coeffs| over ``axes`` (0 if zero)."""
+    max_abs = jnp.max(jnp.abs(coeffs), axis=axes)
+    safe = jnp.where(max_abs > 0, max_abs, 1.0)
+    return jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0).astype(jnp.int32)
+
+
+def _tree_level_2x2(p, w, normalize: bool):
+    """One tree level: [..., n, 2, 2, c] -> [..., n//2, 2, 2, 2c-1]."""
+    c = p.shape[-1]
+    length = next_fft_length(2 * c - 1)
+    a = p[..., 0::2, :, :, :]   # earlier samples
+    b = p[..., 1::2, :, :, :]   # later samples
+    fa = jnp.fft.fft(a, n=length, axis=-1)
+    fb = jnp.fft.fft(b, n=length, axis=-1)
+    # later @ earlier, pointwise in the FFT domain (8 poly products, shared FFTs)
+    fc = jnp.einsum("...ikl,...kjl->...ijl", fb, fa)
+    prod = jnp.fft.ifft(fc, axis=-1)[..., : 2 * c - 1].astype(p.dtype)
+    if w is not None:
+        w = w[..., 0::2] + w[..., 1::2]
+    if normalize:
+        a_exp = _rescale_exponents(prod, axes=(-3, -2, -1))
+        scale = jnp.exp2(-a_exp.astype(jnp.real(prod).dtype))
+        prod = prod * scale[..., None, None, None]
+        w = w + a_exp if w is not None else a_exp
+    return prod, w
+
+
+def _pad_to_power_of_2_2x2(p):
+    """Pad a matrix stack with identity (constant-1 polynomial) matrices."""
+    n = p.shape[-4]
+    n_pad = next_power_of_2(n)
+    if n_pad == n:
+        return p, 0
+    eye = jnp.zeros(p.shape[:-4] + (n_pad - n, 2, 2, p.shape[-1]), dtype=p.dtype)
+    eye = eye.at[..., 0, 0, 0].set(1.0).at[..., 1, 1, 0].set(1.0)
+    return jnp.concatenate([p, eye], axis=-4), n_pad - n
+
+
+def fmult2x2_tree(p, *, normalize: bool = True):
+    """Multiply a stack of 2x2 polynomial matrices via a log-depth FFT tree.
+
+    Args:
+      p: ``[..., n, 2, 2, deg+1]`` ascending coefficients, natural time order.
+      normalize: per-product power-of-two rescaling (returns exponent ``w``).
+
+    Returns:
+      (result, w): ``result[..., 2, 2, n*deg+1]`` and int32 ``w`` with
+      ``true_result = result * 2**w`` (w == 0 array when normalize=False).
+
+    Complexity O(n deg log^2(n deg)); every level is one batched FFT +
+    pointwise complex matmul — no sequential per-sample work.
+    """
+    n = p.shape[-4]
+    deg_in = p.shape[-1] - 1
+    p, _ = _pad_to_power_of_2_2x2(p)
+    n_pad = p.shape[-4]
+    w = jnp.zeros(p.shape[:-4] + (n_pad,), dtype=jnp.int32) if normalize else None
+    levels = int(math.log2(n_pad)) if n_pad > 1 else 0
+    for _ in range(levels):
+        p, w = _tree_level_2x2(p, w, normalize)
+    result = p[..., 0, :, :, :]
+    # identity padding contributes degree 0; true degree is n*deg_in
+    result = result[..., : n * deg_in + 1]
+    if w is None:
+        w_out = jnp.zeros(result.shape[:-3], dtype=jnp.int32)
+    else:
+        w_out = w[..., 0]
+    return result, w_out
+
+
+def fmult2x2(p, *, normalize: bool = True):
+    """Alias of :func:`fmult2x2_tree` (reference name: poly_fmult2x2)."""
+    return fmult2x2_tree(p, normalize=normalize)
+
+
+def fmult(p, *, normalize: bool = True):
+    """Scalar version: multiply ``[..., n, deg+1]`` polynomials.
+
+    Returns (result ``[..., n*deg+1]``, w) with the same normalization
+    semantics as :func:`fmult2x2_tree` (reference: poly_fmult).
+    """
+    n = p.shape[-2]
+    deg_in = p.shape[-1] - 1
+    n_pad = next_power_of_2(n)
+    if n_pad != n:
+        ones = jnp.zeros(p.shape[:-2] + (n_pad - n, p.shape[-1]), dtype=p.dtype)
+        ones = ones.at[..., 0].set(1.0)
+        p = jnp.concatenate([p, ones], axis=-2)
+    w = jnp.zeros(p.shape[:-1], dtype=jnp.int32) if normalize else None
+    levels = int(math.log2(n_pad)) if n_pad > 1 else 0
+    for _ in range(levels):
+        c = p.shape[-1]
+        length = next_fft_length(2 * c - 1)
+        fa = jnp.fft.fft(p[..., 0::2, :], n=length, axis=-1)
+        fb = jnp.fft.fft(p[..., 1::2, :], n=length, axis=-1)
+        prod = jnp.fft.ifft(fa * fb, axis=-1)[..., : 2 * c - 1].astype(p.dtype)
+        if w is not None:
+            w = w[..., 0::2] + w[..., 1::2]
+            a_exp = _rescale_exponents(prod, axes=(-1,))
+            prod = prod * jnp.exp2(-a_exp.astype(jnp.real(prod).dtype))[..., None]
+            w = w + a_exp
+        p = prod
+    result = p[..., 0, : n * deg_in + 1]
+    w_out = w[..., 0] if w is not None else jnp.zeros(result.shape[:-1], jnp.int32)
+    return result, w_out
+
+
+# ---------------------------------------------------------------------------
+# Chirp-Z transform
+# ---------------------------------------------------------------------------
+
+def _spiral_table(base: complex, exponents: np.ndarray) -> np.ndarray:
+    """base**exponents computed in extended precision on the host.
+
+    ``base`` and the exponent grid are static (they come from the spectral
+    grid geometry), so the chirp tables are embedded as constants. Extended
+    precision matters because exponents grow like deg^2/2.
+    """
+    log_mag = np.log(np.abs(base)) if abs(base) != 1.0 else 0.0
+    theta = np.longdouble(math.atan2(base.imag, base.real))
+    e = exponents.astype(np.longdouble)
+    phase = np.mod(e * theta, np.longdouble(2 * math.pi))
+    mag = np.exp(e * np.longdouble(log_mag)) if log_mag != 0.0 else 1.0
+    return (mag * (np.cos(phase.astype(np.float64))
+                   + 1j * np.sin(phase.astype(np.float64)))).astype(np.complex128)
+
+
+@partial(jax.jit, static_argnames=("a", "w", "m"))
+def chirpz(coeffs, a: complex, w: complex, m: int):
+    """Evaluate p(z) at the spiral points ``z_k = a * w**k``, k = 0..m-1.
+
+    Bluestein/Rader factorization nm = (n^2 + m^2 - (n-m)^2)/2 turns the
+    evaluation into one circular convolution (3 FFTs). ``a`` and ``w`` are
+    static Python complex numbers (grid geometry); ``coeffs`` is traced and
+    may have leading batch dimensions.
+
+    Reference: fnft__poly_chirpz.c:33-105 (Rabiner/Schafer/Rader), with the
+    coefficient-order convention flipped to ascending.
+    """
+    coeffs = jnp.asarray(coeffs)
+    cdt = complex_dtype_of(coeffs)
+    n = coeffs.shape[-1]
+    length = next_fft_length(n + m - 1)
+
+    ks = np.arange(max(n, m), dtype=np.float64)
+    w_half_sq = _spiral_table(complex(w), 0.5 * ks * ks)         # w^{k^2/2}
+    a_pow = _spiral_table(complex(a), ks[:n])                    # a^n
+
+    x_weight = jnp.asarray((a_pow * w_half_sq[:n]), dtype=cdt)
+    x = coeffs.astype(cdt) * x_weight
+
+    # v_j = w^{-j^2/2} for j = -(n-1) .. (m-1), laid out circularly
+    v = np.zeros(length, dtype=np.complex128)
+    v[:m] = 1.0 / w_half_sq[:m]
+    neg = _spiral_table(complex(w), 0.5 * ks[1:n] * ks[1:n])
+    v[length - n + 1:] = (1.0 / neg)[::-1]
+    v_f = jnp.asarray(np.fft.fft(v), dtype=cdt)
+
+    conv = jnp.fft.ifft(jnp.fft.fft(x, n=length, axis=-1) * v_f, axis=-1)
+    out = conv[..., :m] * jnp.asarray(w_half_sq[:m], dtype=cdt)
+    return out.astype(cdt)
+
+
+# ---------------------------------------------------------------------------
+# Horner evaluation
+# ---------------------------------------------------------------------------
+
+def poly_eval(coeffs, z):
+    """Evaluate p at points z (ascending coefficients; Horner via lax.scan).
+
+    For |z| > 1 the reversed-Horner form p(z) = z^deg q(1/z) is used for
+    stability (reference: fnft__poly_eval.c:25-91).
+    """
+    p, _ = poly_evalderiv(coeffs, z, with_derivative=False)
+    return p
+
+
+def poly_evalderiv(coeffs, z, *, with_derivative: bool = True):
+    """Evaluate (p(z), p'(z)) at a vector of points."""
+    coeffs = jnp.asarray(coeffs)
+    z = jnp.asarray(z)
+    cdt = jnp.promote_types(complex_dtype_of(coeffs), complex_dtype_of(z))
+    coeffs = coeffs.astype(cdt)
+    z = z.astype(cdt)
+    deg = coeffs.shape[-1] - 1
+
+    inside = jnp.abs(z) <= 1.0
+    z_safe = jnp.where(inside, z, 1.0 / jnp.where(z == 0, 1.0, z))
+
+    def horner(cs, x):
+        # scan from the highest coefficient downward, tracking p and p'
+        def step(carry, ck):
+            pv, dv = carry
+            dv = dv * x + pv
+            pv = pv * x + ck
+            return (pv, dv), None
+
+        init = (jnp.zeros_like(x), jnp.zeros_like(x))
+        (pv, dv), _ = jax.lax.scan(step, init, cs[::-1])
+        return pv, dv
+
+    p_in, dp_in = horner(coeffs, z_safe)          # valid when |z| <= 1
+    p_rev, dp_rev = horner(coeffs[::-1], z_safe)  # q(1/z), q'(1/z)
+
+    zdeg = jnp.where(inside, 1.0, z) ** deg
+    p_out = zdeg * p_rev
+    p = jnp.where(inside, p_in, p_out)
+    if not with_derivative:
+        return p, None
+    # p'(z) = deg z^{deg-1} q(1/z) - z^{deg-2} q'(1/z) for the reversed form
+    zdeg1 = jnp.where(inside, 1.0, z) ** (deg - 1)
+    zdeg2 = jnp.where(inside, 1.0, z) ** (deg - 2)
+    dp_out = deg * zdeg1 * p_rev - zdeg2 * dp_rev
+    dp = jnp.where(inside, dp_in, dp_out)
+    return p, dp

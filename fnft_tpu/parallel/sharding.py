@@ -1,0 +1,68 @@
+"""Multi-device execution: batch and spectral-grid sharding.
+
+The reference is single-threaded C (SURVEY.md section 2.8); parallelism is a
+first-class capability of this rebuild instead:
+
+* **batch parallelism** — a stack of signals vmaps across examples and
+  shards over the ``"batch"`` mesh axis (data parallel),
+* **grid parallelism** — the M-point chirp-Z evaluation is embarrassingly
+  parallel and shards over the ``"grid"`` axis,
+* the fmult tree's early levels are local to the batch shard; XLA inserts
+  ICI collectives only where sharded axes meet.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fnft_tpu.models.discretization import Discretization
+from fnft_tpu.models import nse
+from fnft_tpu.models.nsev import ContspecType, NsevOpts, _apply_phase_factors, _contspec_eval
+from fnft_tpu.ops.fscatter import fscatter
+
+
+def make_mesh(devices=None, axis_names=("batch",)):
+    """A 1-D (or reshaped) device mesh over all available devices."""
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    devs = np.asarray(devices)
+    if len(axis_names) > 1:
+        side = int(round(len(devs) ** (1.0 / len(axis_names))))
+        devs = devs.reshape((side,) * len(axis_names))
+    return Mesh(devs, axis_names)
+
+
+def batched_nsev_contspec(q_batch, t_span, m: int, xi_span, *, kappa: int = +1,
+                          disc: Discretization = Discretization.SPLIT4B,
+                          mesh: Mesh | None = None):
+    """Reflection coefficients of a batch of signals, sharded over a mesh.
+
+    ``q_batch`` has shape [B, D]; the batch axis is sharded over the mesh's
+    "batch" axis. Returns rho with shape [B, M].
+    """
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    d = q_batch.shape[-1]
+    eps_t = (t1 - t0) / (d - 1)
+
+    def single(q):
+        q_eff, r_eff, _, _ = nse.preprocess_signal(q, eps_t, kappa, disc)
+        tm, w = fscatter(q_eff, r_eff, eps_t, disc)
+        h11, h21, w_ = _contspec_eval(tm, w, q_eff, r_eff, eps_t, t0, t1,
+                                      d, xi0, xi1, m, disc)
+        cs = _apply_phase_factors(h11, h21, w_, eps_t, t0, t1, d, xi0, xi1,
+                                  m, kappa, disc,
+                                  ContspecType.REFLECTION_COEFFICIENT)
+        return cs["rho"]
+
+    fn = jax.jit(jax.vmap(single))
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("batch", None))
+        q_batch = jax.device_put(q_batch, sharding)
+        fn = jax.jit(jax.vmap(single), out_shardings=NamedSharding(mesh, P("batch", None)))
+    return fn(q_batch)

@@ -1,0 +1,87 @@
+"""Unit tests for the polynomial kernels (reference: test/fnft__poly/*)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fnft_tpu.ops.poly import chirpz, fmult, fmult2x2, poly_eval, poly_evalderiv
+
+
+def _np_polymul_mat(a, b):
+    """b @ a with polynomial entries (numpy reference), ascending coeffs."""
+    ca, cb = a.shape[-1], b.shape[-1]
+    out = np.zeros((2, 2, ca + cb - 1), dtype=complex)
+    for i in range(2):
+        for j in range(2):
+            for k in range(2):
+                out[i, j] += np.convolve(b[i, k], a[k, j])
+    return out
+
+
+def _brute_force_product(mats):
+    acc = mats[0]
+    for m in mats[1:]:
+        acc = _np_polymul_mat(acc, m)
+    return acc
+
+
+@pytest.mark.parametrize("n", [2, 4, 8, 7, 5])
+@pytest.mark.parametrize("deg", [1, 2, 3])
+def test_fmult2x2_matches_brute_force(n, deg):
+    rng = np.random.default_rng(42 + n + deg)
+    p = rng.normal(size=(n, 2, 2, deg + 1)) + 1j * rng.normal(size=(n, 2, 2, deg + 1))
+    expected = _brute_force_product(list(p))
+    got, w = fmult2x2(jnp.asarray(p), normalize=False)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-12, atol=1e-12)
+    assert int(w) == 0
+
+
+@pytest.mark.parametrize("n", [4, 8, 6])
+def test_fmult2x2_normalization(n):
+    rng = np.random.default_rng(7)
+    p = 10.0 * (rng.normal(size=(n, 2, 2, 3)) + 1j * rng.normal(size=(n, 2, 2, 3)))
+    expected = _brute_force_product(list(p))
+    got, w = fmult2x2(jnp.asarray(p), normalize=True)
+    rescaled = np.asarray(got) * 2.0 ** int(w)
+    np.testing.assert_allclose(rescaled, expected, rtol=1e-12, atol=1e-10)
+    # coefficients should be O(1) after normalization
+    assert 0.25 <= np.max(np.abs(np.asarray(got))) <= 2.5
+
+
+def test_fmult_scalar():
+    rng = np.random.default_rng(3)
+    p = rng.normal(size=(6, 4)) + 1j * rng.normal(size=(6, 4))
+    expected = p[0]
+    for row in p[1:]:
+        expected = np.convolve(expected, row)
+    got, w = fmult(jnp.asarray(p), normalize=True)
+    np.testing.assert_allclose(np.asarray(got) * 2.0 ** int(w), expected,
+                               rtol=1e-12, atol=1e-10)
+
+
+@pytest.mark.parametrize("m", [5, 16, 33])
+def test_chirpz_matches_direct_eval(m):
+    rng = np.random.default_rng(11)
+    deg = 24
+    c = rng.normal(size=deg + 1) + 1j * rng.normal(size=deg + 1)
+    a = np.exp(0.3j) * 1.01
+    w = np.exp(-0.05j) * 0.999
+    got = np.asarray(chirpz(jnp.asarray(c), complex(a), complex(w), m))
+    pts = a * w ** np.arange(m)
+    expected = np.polyval(c[::-1], pts)
+    np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
+
+
+def test_poly_eval_and_derivative():
+    rng = np.random.default_rng(5)
+    c = rng.normal(size=9) + 1j * rng.normal(size=9)
+    z = np.array([0.3 + 0.1j, 1.0, 2.0 - 1.0j, -0.5j, 1.5])
+    p, dp = poly_evalderiv(jnp.asarray(c), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(p), np.polyval(c[::-1], z),
+                               rtol=1e-12, atol=1e-12)
+    dc = c[1:] * np.arange(1, 9)
+    np.testing.assert_allclose(np.asarray(dp), np.polyval(dc[::-1], z),
+                               rtol=1e-11, atol=1e-11)
+    p_only = poly_eval(jnp.asarray(c), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(p_only), np.polyval(c[::-1], z),
+                               rtol=1e-12, atol=1e-12)
