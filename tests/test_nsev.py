@@ -1,0 +1,106 @@
+"""Integration tests: nsev against analytic spectra.
+
+Ports the reference's per-discretization test matrix (test/fnft_nsev/*):
+each case pins a discretization, a resolution D, and the reference's six
+error bounds (contspec, a, b, bound states, norming constants, residues).
+The D / D+-1 / 2D (convergence-order) triple follows the reference pattern.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import fnft_tpu as ft
+from fnft_tpu.models.nsev import nsev_with_initial_states
+from fnft_tpu.testcases import NsevTestcase, nsev_testcase, nsev_errors
+
+D_ = ft.Discretization
+TC = NsevTestcase
+
+# (testcase, discretization, D, bounds[6], newton_seeded, richardson)
+# bounds are the reference's (file: test/fnft_nsev/fnft_nsev_test_<case>_<disc>.c)
+CASES = [
+    (TC.SECH_FOCUSING, D_.SPLIT2A, 4096,
+     (8.5e-5, 1.7e-4, 7.9e-5, 1.6e-5, 5e-14, 2.1e-6), False, False),
+    (TC.SECH_FOCUSING, D_.SPLIT2_MODAL, 4096,
+     (5.0e-3, 2.6e-3, 3.6e-3, 1.6e-5, 5e-14, 2.1e-6), False, False),
+    (TC.SECH_FOCUSING, D_.SPLIT4B, 4096,
+     (3.9e-6, 6.3e-6, 2.0e-6, 1.6e-5, 5e-14, 2.1e-6), False, False),
+    (TC.SECH_FOCUSING, D_.SPLIT4A, 4096,
+     (3.9e-6, 6.3e-6, 2.0e-6, 1.6e-5, 5e-14, 2.1e-6), False, True),
+    (TC.SECH_FOCUSING, D_.SPLIT8B, 1024,
+     (6.2e-5, 1.0e-4, 3.1e-5, 2.4e-4, 5e-14, 3.3e-5), False, False),
+    (TC.SECH_FOCUSING, D_.SPLIT7A, 256,
+     (9.9e-4, 1.7e-3, 4.9e-4, 3.9e-3, 5e-14, 6.0e-4), False, False),
+    (TC.SECH_FOCUSING, D_.SPLIT4B4, 1024,
+     (5.2e-8, 1.6e-7, 4.5e-8, 1.4e-8, 5e-15, 6.3e-8), False, False),
+    (TC.SECH_FOCUSING, D_.BO, 2048,
+     (5.7e-2, 2.8e-2, 9.1e-3, 8.9e-3, 5e-14, 1.6e-2), True, False),
+    (TC.SECH_FOCUSING, D_.CF4_2, 512,
+     (7.1e-3, 3.5e-3, 1.2e-3, 1.2e-3, 3.2e-11, 1.6e-3), True, False),
+    (TC.SECH_FOCUSING, D_.CF4_3, 513,
+     (2.8e-4, 1.5e-4, 4.1e-5, 1.6e-4, 4.0e-14, 6.2e-4), True, False),
+    (TC.SECH_FOCUSING, D_.CF5_3, 399,
+     (7.5e-5, 4.2e-5, 4.2e-5, 4.1e-5, 2.8e-4, 2.7e-4), True, False),
+    (TC.SECH_FOCUSING, D_.CF6_4, 400,
+     (1.7e-4, 7.9e-5, 2.4e-5, 4.3e-5, 5.0e-14, 7.7e-5), True, False),
+    (TC.SECH_FOCUSING, D_.ES4, 512,
+     (9.7e-2, 4.8e-2, 1.7e-2, 2.5e-2, 3.2e-11, 4.7e-2), True, False),
+    (TC.SECH_FOCUSING, D_.TES4, 1024,
+     (7.7e-3, 3.8e-3, 1.2e-3, 1.2e-3, 3.2e-11, 4.8e-2), True, False),
+    (TC.SECH_DEFOCUSING, D_.SPLIT2A, 4096,
+     (2.2e-4, None, None, None, None, None), False, False),
+    (TC.SECH_DEFOCUSING, D_.SPLIT4B4, 1024,
+     (1.5e-6, None, None, None, None, None), False, False),
+    (TC.TRUNCATED_SOLITON, D_.SPLIT2A, 1024,
+     (1.8e-4, None, None, None, None, None), False, False),
+]
+
+_KEYS = ("contspec", "a", "b", "bound_states", "normconsts", "residues")
+
+
+def _run_case(tc, disc, d, newton_seeded, richardson):
+    data = nsev_testcase(tc, d)
+    want_ds = data.kappa == +1 and data.bound_states.size > 0
+    opts = ft.NsevOpts(contspec_type=ft.ContspecType.BOTH,
+                       discspec_type=ft.DiscspecType.BOTH,
+                       discretization=disc,
+                       richardson_extrapolation=richardson)
+    q = jnp.asarray(data.q)
+    if newton_seeded and want_ds:
+        res = nsev_with_initial_states(q, data.t_span, data.bound_states,
+                                       m=data.m, xi_span=data.xi_span,
+                                       kappa=data.kappa, opts=opts)
+    else:
+        res = ft.nsev(q, data.t_span, m=data.m, xi_span=data.xi_span,
+                      kappa=data.kappa, opts=opts,
+                      want_bound_states=want_ds)
+    return nsev_errors(res, data)
+
+
+@pytest.mark.parametrize("tc,disc,d,bounds,seeded,rich", CASES,
+                         ids=[f"{c[0].value}-{c[1].value}" for c in CASES])
+def test_nsev_reference_bounds(tc, disc, d, bounds, seeded, rich):
+    errs = _run_case(tc, disc, d, seeded, rich)
+    for key, bound in zip(_KEYS, bounds):
+        if bound is None:
+            continue
+        assert errs[key] is not None, key
+        assert errs[key] <= bound, (key, errs[key], bound)
+
+
+def test_nsev_convergence_order_2split4B():
+    """Doubling D must shrink 2SPLIT4B errors ~4x (2nd order), reference
+    test_sech_focusing_2split4B.c:53-60."""
+    e1 = _run_case(TC.SECH_FOCUSING, D_.SPLIT4B, 4096, False, False)
+    e2 = _run_case(TC.SECH_FOCUSING, D_.SPLIT4B, 8192, False, False)
+    for key in ("contspec", "a", "b"):
+        assert e2[key] <= e1[key] / 3.6, (key, e1[key], e2[key])
+
+
+@pytest.mark.parametrize("d", [4095, 4097])
+def test_nsev_non_power_of_two_D(d):
+    """Robustness at D +- 1 (reference pattern, e.g. 2split4B test)."""
+    errs = _run_case(TC.SECH_FOCUSING, D_.SPLIT4B, d, False, False)
+    for key, bound in zip(_KEYS, (3.9e-6, 6.3e-6, 2.0e-6, 1.6e-5, 5e-14, 2.1e-6)):
+        assert errs[key] <= 1.1 * bound, (key, errs[key], bound)
