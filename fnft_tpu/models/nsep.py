@@ -1,19 +1,54 @@
 """Forward NFT for the (quasi-)periodic NSE: main and auxiliary spectra.
 
-TPU rebuild of fnft_nsep.c (implemented in the nsep milestone; see
-SURVEY.md section 3.4 for the call stack being reproduced).
+TPU rebuild of fnft_nsep.c:82-864. The main spectrum consists of the
+lambdas where the Floquet discriminant Delta(lam) = trace of the monodromy
+matrix equals +-2 (more generally, the values in ``floquet_range`` scaled
+by 2, which yields spines); the auxiliary spectrum are the roots of the
+monodromy's upper-right entry.
+
+Two localization strategies, mirroring the reference:
+
+* GRIDSEARCH — evaluate the monodromy polynomial on unit-circle arcs with
+  the chirp transform and locate real-line spectrum via the 3x3 minimum-
+  modulus test (embarrassingly parallel).
+* SUBSAMPLE_AND_REFINE — all-root localization (Ehrlich-Aberth on the
+  subsampled monodromy polynomial, replacing the reference's Fortran
+  companion QR) followed by a vectorized multiplicity-aware Newton
+  refinement against the full-resolution monodromy.
+* MIXED runs the second for the non-real spectrum and the first for the
+  real line.
+
+Quasi-periodic signals are handled by removing the phase rotation up front
+and shifting the spectra back afterwards (reference :118-135, 200-213).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import enum
+import math
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
-from fnft_tpu.errors import NotYetImplementedError
-from fnft_tpu.models.discretization import Discretization
+from fnft_tpu.config import complex_dtype_of, eps_of
+from fnft_tpu.errors import check_arg
+from fnft_tpu.models import nse
+from fnft_tpu.models.discretization import (
+    Discretization,
+    degree,
+    is_fast,
+    upsampling_factor,
+    z_to_lambda,
+)
+from fnft_tpu.ops.fscatter import fscatter
+from fnft_tpu.ops.gridsearch import roots_fftgridsearch
+from fnft_tpu.ops.roots import poly_roots
+from fnft_tpu.ops.scatter import scatter_matrix
+from fnft_tpu.utils import misc
+
+OVERSAMPLING = 32  # grid points per polynomial degree (reference :43)
 
 
 class Localization(enum.Enum):          # fnft_nsep.h:54-58
@@ -37,11 +72,10 @@ class NsepOpts:
     bounding_box: tuple = (-np.inf, np.inf, -np.inf, np.inf)
     max_evals: int = 20
     discretization: Discretization = Discretization.SPLIT2A
-    normalization_flag: bool = True
     floquet_range: tuple = (-1.0, 1.0)
     points_per_spine: int = 2
     dsub: int = 0
-    tol: float = -1.0  # auto
+    tol: float = -1.0  # negative = auto (sqrt machine eps)
 
 
 @dataclasses.dataclass
@@ -50,7 +84,245 @@ class NsepResult:
     aux_spectrum: Optional[np.ndarray] = None
 
 
+def _auto_box(eps_t: float, map_coeff: float) -> tuple:
+    """Resolvable region of the z-map (reference :837-864)."""
+    re = 0.9 * math.pi / (abs(map_coeff) * eps_t)
+    im = -math.log(0.1) / (abs(map_coeff) * eps_t)
+    return (-re, re, -im, im)
+
+
+def _filter_np(vals: np.ndarray, box) -> np.ndarray:
+    m = ((np.real(vals) >= box[0]) & (np.real(vals) <= box[1])
+         & (np.imag(vals) >= box[2]) & (np.imag(vals) <= box[3]))
+    return vals[m]
+
+
+def _monodromy_poly(tm11, tm_w):
+    """p(z) ~ z^{deg/2} Delta(z): tm11 + conjugate-reversed tm11 (:319-320)."""
+    return tm11 + jnp.conj(tm11[::-1])
+
+
+def _gridsearch(q_pre, eps_t, kappa, box, opts, want_main, want_aux):
+    disc = opts.discretization
+    q_eff, r_eff, _, _ = nse.preprocess_signal(q_pre, eps_t, kappa, disc)
+    tm, w = fscatter(q_eff, r_eff, eps_t, disc)
+    deg = tm.shape[-1] - 1
+    map_coeff = 2.0 / degree(disc)
+    if opts.filtering is PointFilter.AUTO:
+        box = _auto_box(eps_t, map_coeff)
+    phi = sorted((map_coeff * eps_t * box[0], map_coeff * eps_t * box[1]))
+    if not np.isfinite(phi[0]) or not np.isfinite(phi[1]):
+        phi = [0.0, 2.0 * math.pi]
+    m_grid = OVERSAMPLING * deg
+
+    def circle_roots(coeffs):
+        roots_z, mask = roots_fftgridsearch(
+            coeffs, phi0=float(phi[0]), phi1=float(phi[1]), m=m_grid)
+        z = misc.compact_masked(roots_z, mask)
+        lam = np.asarray(z_to_lambda(jnp.asarray(z), eps_t, disc)) \
+            if z.size else np.zeros(0, complex)
+        if opts.filtering is not PointFilter.NONE:
+            lam = _filter_np(lam, box)
+        return lam
+
+    main = aux = None
+    if want_main:
+        p = _monodromy_poly(tm[0, 0], w)
+        scale = 2.0 ** (-int(w))
+        p_plus = p.at[deg // 2].add(2.0 * scale)
+        p_minus = p.at[deg // 2].add(-2.0 * scale)
+        main = np.concatenate([circle_roots(p_plus), circle_roots(p_minus)])
+    if want_aux:
+        aux = circle_roots(tm[0, 1])
+    return main, aux, box
+
+
+def _eval_floquet(q_eff, r_eff, lam, eps_t, base_disc):
+    """(f, f') with f = Delta(lam) = T00 + T11 of the full monodromy."""
+    t, td = scatter_matrix(q_eff, r_eff, jnp.asarray(lam), eps_t, base_disc,
+                           derivative=True)
+    return (t[:, 0, 0] + t[:, 1, 1]), (td[:, 0, 0] + td[:, 1, 1])
+
+
+def _eval_b(q_eff, r_eff, lam, eps_t, base_disc):
+    t, td = scatter_matrix(q_eff, r_eff, jnp.asarray(lam), eps_t, base_disc,
+                           derivative=True)
+    return t[:, 0, 1], td[:, 0, 1]
+
+
+def _refine_mainspec(q_eff, r_eff, lam0, eps_t, rhs, tol, max_evals,
+                     base_disc):
+    """Vectorized higher-order-root Newton with m in {1,2} line search
+    (reference refine_mainspec, :707-793)."""
+    lam = np.asarray(lam0)
+    if lam.size == 0 or max_evals == 0:
+        return lam
+    k = lam.shape[0]
+    lam = jnp.asarray(lam)
+    f, fp = _eval_floquet(q_eff, r_eff, lam, eps_t, base_disc)
+    f = f + rhs
+    frozen = jnp.zeros(k, dtype=bool)
+    iters = max(1, (max_evals - 1) // 2)
+    for _ in range(iters):
+        fp_safe = jnp.where(fp == 0, 1.0, fp)
+        incr = f / fp_safe
+        cand = jnp.concatenate([lam - incr, lam - 2 * incr])
+        fc, fpc = _eval_floquet(q_eff, r_eff, cand, eps_t, base_disc)
+        fc = fc + rhs
+        f1, f2 = fc[:k], fc[k:]
+        pick2 = jnp.abs(f2) < jnp.abs(f1)
+        lam_new = jnp.where(pick2, lam - 2 * incr, lam - incr)
+        f_new = jnp.where(pick2, f2, f1)
+        fp_new = jnp.where(pick2, fpc[k:], fpc[:k])
+        # converged states take a final plain Newton step and freeze (:781-788)
+        conv = jnp.abs(f_new) < tol
+        fp_new_safe = jnp.where(fp_new == 0, 1.0, fp_new)
+        lam_final = jnp.where(conv, lam_new - f_new / fp_new_safe, lam_new)
+        lam = jnp.where(frozen, lam, lam_final)
+        f = jnp.where(frozen, f, f_new)
+        fp = jnp.where(frozen, fp, fp_new)
+        frozen = frozen | conv | (fp == 0)
+    return np.asarray(lam)
+
+
+def _refine_auxspec(q_eff, r_eff, lam0, eps_t, tol, max_evals, base_disc):
+    """Vectorized Newton on b(lam) (reference refine_auxspec, :796-835)."""
+    lam = np.asarray(lam0)
+    if lam.size == 0 or max_evals == 0:
+        return lam
+    lam = jnp.asarray(lam)
+    frozen = jnp.zeros(lam.shape, dtype=bool)
+    for _ in range(max_evals):
+        f, fp = _eval_b(q_eff, r_eff, lam, eps_t, base_disc)
+        fp_safe = jnp.where(fp == 0, 1.0, fp)
+        lam_new = lam - f / fp_safe
+        lam = jnp.where(frozen | (fp == 0), lam, lam_new)
+        frozen = frozen | (jnp.abs(f) < tol) | (fp == 0)
+    return np.asarray(lam)
+
+
+def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
+                          want_aux, skip_real):
+    disc = opts.discretization
+    ups = upsampling_factor(disc)
+    q_eff, r_eff, _, _ = nse.preprocess_signal(q_pre, eps_t, kappa, disc)
+
+    dsub = opts.dsub
+    if dsub == 0:
+        dsub = int(2.0 ** math.ceil(0.5 * math.log2(d * math.log2(d) ** 2)))
+    else:
+        dsub = int(2.0 ** round(math.log2(dsub)))
+    qs_eff, rs_eff, dsub_act, (i0, i1) = nse.preprocess_signal(
+        q_pre, eps_t, kappa, disc, dsub)
+    nskip = d // dsub_act
+    eps_t_sub = nskip * eps_t
+
+    tm, w = fscatter(qs_eff, rs_eff, eps_t_sub, disc)
+    deg = tm.shape[-1] - 1
+    map_coeff = 2.0 / degree(disc)
+    if opts.filtering is PointFilter.AUTO:
+        box = _auto_box(eps_t_sub, map_coeff)
+    tol_im = (box[1] - box[0]) / (OVERSAMPLING * (d - 1))
+    cdt = complex_dtype_of(q_pre)
+    refine_tol = math.sqrt(eps_of(cdt)) if opts.tol < 0 else opts.tol
+    base = nse.newton_base_discretization(disc)
+    d_eff_full = q_eff.shape[-1]
+    assert d_eff_full == d * ups
+
+    def post_filter(lam):
+        if opts.filtering is not PointFilter.NONE:
+            lam = _filter_np(lam, box)
+        if skip_real:
+            lam = lam[np.abs(np.imag(lam)) > tol_im]
+        return lam
+
+    main = aux = None
+    if want_main:
+        p = _monodromy_poly(tm[0, 0], w)
+        center = p[deg // 2]
+        scale = 2.0 ** (-int(w))
+        rhs0, rhs1 = opts.floquet_range
+        nvals = opts.points_per_spine
+        step = (rhs1 - rhs0) / (nvals - 1) if nvals > 1 else 0.0
+        pieces = []
+        for nval in range(nvals):
+            rhs = 2.0 * (rhs0 + nval * step)
+            p_n = p.at[deg // 2].set(center - rhs * scale)
+            roots_z = poly_roots(p_n)
+            lam = np.asarray(z_to_lambda(roots_z, eps_t_sub, disc))
+            lam = post_filter(lam)
+            lam = _refine_mainspec(q_eff, r_eff, lam, eps_t, -rhs,
+                                   refine_tol, opts.max_evals, base)
+            pieces.append(post_filter(lam))
+        main = np.concatenate(pieces) if pieces else np.zeros(0, complex)
+    if want_aux:
+        roots_z = poly_roots(tm[0, 1])
+        lam = np.asarray(z_to_lambda(roots_z, eps_t_sub, disc))
+        if opts.filtering is not PointFilter.NONE:
+            lam = _filter_np(lam, box)
+        lam = _refine_auxspec(q_eff, r_eff, lam, eps_t, refine_tol,
+                              opts.max_evals, base)
+        aux = post_filter(lam)
+    return main, aux, box
+
+
 def nsep(q, t_span, *, kappa: int = +1, phase_shift: float = 0.0,
+         want_main: bool = True, want_aux: bool = True,
          opts: NsepOpts | None = None) -> NsepResult:
-    raise NotYetImplementedError(
-        "nsep lands in the periodic-NFT milestone (SURVEY.md section 7, step 6)")
+    """Main/auxiliary spectrum of a (quasi-)periodic signal.
+
+    Args:
+      q: samples on t_n = T0 + n*(T1-T0)/D, n = 0..D-1 (period T1-T0;
+        the last sample is *before* T1). D must be a power of two.
+      t_span: (T0, T1) — one period.
+      kappa: +1 focusing / -1 defocusing.
+      phase_shift: for quasi-periodic signals, arg(q(t+L)/q(t)).
+    """
+    opts = opts or NsepOpts()
+    q = jnp.asarray(q)
+    d = q.shape[-1]
+    check_arg(d >= 2 and (d & (d - 1)) == 0, "D must be a power of two")
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    check_arg(t0 < t1, "T[0] < T[1] required")
+    check_arg(kappa in (-1, 1), "kappa must be +-1")
+    check_arg(is_fast(opts.discretization),
+              "nsep requires a fast (polynomial) discretization")
+
+    eps_t = (t1 - t0) / d
+    lam_shift = phase_shift / (-2.0 * (t1 - t0))
+    rdt = jnp.real(q).dtype
+    tgrid = t0 + eps_t * jnp.arange(d, dtype=rdt)
+    q_pre = q * jnp.exp(2j * lam_shift * tgrid)
+
+    box = list(opts.bounding_box)
+    if opts.filtering is PointFilter.MANUAL:
+        box[0] -= lam_shift
+        box[1] -= lam_shift
+    box = tuple(box)
+
+    main = aux = None
+    if opts.localization is Localization.MIXED:
+        m1, a1, _ = _subsample_and_refine(
+            q_pre, eps_t, d, kappa, box, opts,
+            want_main and kappa == +1, want_aux, skip_real=True)
+        m2, a2, _ = _gridsearch(q_pre, eps_t, kappa, box, opts, want_main,
+                                want_aux)
+        main = np.concatenate([x for x in (m1, m2) if x is not None]) \
+            if want_main else None
+        aux = np.concatenate([x for x in (a1, a2) if x is not None]) \
+            if want_aux else None
+    elif opts.localization is Localization.SUBSAMPLE_AND_REFINE:
+        main, aux, _ = _subsample_and_refine(q_pre, eps_t, d, kappa, box,
+                                             opts, want_main, want_aux,
+                                             skip_real=False)
+    elif opts.localization is Localization.GRIDSEARCH:
+        main, aux, _ = _gridsearch(q_pre, eps_t, kappa, box, opts,
+                                   want_main, want_aux)
+    else:
+        raise ValueError(opts.localization)
+
+    if main is not None:
+        main = main + lam_shift
+    if aux is not None:
+        aux = aux + lam_shift
+    return NsepResult(main_spectrum=main, aux_spectrum=aux)
