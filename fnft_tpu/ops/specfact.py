@@ -31,7 +31,9 @@ def poly_specfact(coeffs, *, oversampling_factor: int = 32, kappa: int = 0):
     deg = coeffs.shape[-1] - 1
     m = next_fft_length((deg + 1) * oversampling_factor)
 
-    vals = jnp.fft.fft(coeffs, n=m, axis=-1)
+    # the factorization operates on the reversed polynomial, matching the
+    # reference's descending-order convention (result conj-compensated below)
+    vals = jnp.fft.fft(coeffs[..., ::-1], n=m, axis=-1)
     abs2 = jnp.abs(vals) ** 2
     tol = math.sqrt(eps_of(cdt))
     if kappa == 0:
@@ -53,7 +55,7 @@ def poly_specfact(coeffs, *, oversampling_factor: int = 32, kappa: int = 0):
     ]).astype(jnp.real(coeffs).dtype)
     y = jnp.fft.ifft(xf * (1j * sgn), axis=-1)
 
-    freq_resp = jnp.exp(x - 1j * jnp.real(y))
+    freq_resp = jnp.exp(x - 1j * y)
     factor = jnp.fft.ifft(freq_resp.astype(cdt), axis=-1)
-    # conjugate-reversal converts the factor to the reference's convention
-    return jnp.conj(factor[..., : deg + 1][..., ::-1]).astype(cdt)
+    # reference: result_desc[i] = conj(factor[deg-i]) -> ascending = conj
+    return jnp.conj(factor[..., : deg + 1]).astype(cdt)
