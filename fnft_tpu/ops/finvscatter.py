@@ -78,9 +78,44 @@ def _base_case(t, eps_t: float, kappa: int, disc: Discretization):
     return q_sample, ti
 
 
+_SCAN_CUTOFF = 32  # blocks at or below this degree peel sequentially
+
+
+def _peel_scan(t, deg: int, eps_t: float, kappa: int, disc: Discretization):
+    """Sequential one-sample layer peel of a whole block via lax.scan.
+
+    The divide-and-conquer split generalizes to (deg-1, 1): the two lowest
+    coefficients of T are the last sample's one-step matrix (verified exact
+    for 2SPLIT2A/MODAL). O(deg^2) work but O(1) trace size — used for the
+    small blocks at the bottom of the recursion where the tree would
+    otherwise dominate XLA compile time.
+
+    Returns (q [..., deg] natural order, Ti [..., 2, 2, deg+1]).
+    """
+    c = deg + 1
+
+    def step(carry, _):
+        t_cur, acc = carry
+        q_s, ti = _base_case(t_cur[..., :2], eps_t, kappa, disc)
+        t_next = _polymatmul(ti, t_cur)[..., 1: c + 1]
+        # accumulate the block inverse: earlier-sample inverses multiply
+        # from the left (Ti_total = V_0 V_1 ... V_last)
+        acc = _polymatmul(ti, acc)[..., :c]
+        return (t_next, acc), q_s
+
+    eye = jnp.zeros(t.shape[:-3] + (2, 2, c), dtype=t.dtype)
+    eye = eye.at[..., 0, 0, 0].set(1.0).at[..., 1, 1, 0].set(1.0)
+    (t_fin, ti_total), q_rev = jax.lax.scan(step, (t, eye), None, length=deg)
+    q = jnp.moveaxis(q_rev, 0, -1)[..., ::-1]
+    return q, ti_total
+
+
 def _recurse(t, deg: int, eps_t: float, kappa: int, disc: Discretization,
              need_inverse: bool):
     """Returns (q_samples [..., deg] in natural time order, Ti or None)."""
+    if 1 < deg <= _SCAN_CUTOFF:
+        q, ti = _peel_scan(t, deg, eps_t, kappa, disc)
+        return q, (ti if need_inverse else None)
     if deg == 1:
         q_sample, ti = _base_case(t, eps_t, kappa, disc)
         return q_sample[..., None], (ti if need_inverse else None)
