@@ -91,6 +91,12 @@ class NsevResult:
     residues: Optional[np.ndarray] = None
 
 
+def nsev_max_k(d: int, opts: NsevOpts | None = None) -> int:
+    """Maximum number of detectable bound states (fnft_nsev_max_K, :51-57)."""
+    opts = opts or NsevOpts()
+    return degree(opts.discretization) * d
+
+
 def _re_bound(eps_t: float, map_coeff: float) -> float:
     """Resolvable real-part range (fnft_nsev.c:569-578)."""
     return 0.9 * math.pi / abs(map_coeff * eps_t)

@@ -86,6 +86,33 @@ def filter_mask(vals, bounding_box) -> jnp.ndarray:
     return (re >= re0) & (re <= re1) & (im >= im0) & (im <= im1)
 
 
+def filter_inv_mask(vals, bounding_box) -> jnp.ndarray:
+    """Mask of values OUTSIDE the open box (reference misc_filter_inv,
+    misc.c:159-203); NaNs are kept."""
+    vals = jnp.asarray(vals)
+    re, im = jnp.real(vals), jnp.imag(vals)
+    re0, re1, im0, im1 = bounding_box
+    inside = (re > re0) & (re < re1) & (im > im0) & (im < im1)
+    return ~inside
+
+
+def filter_nonreal_mask(vals, tol_im: float) -> jnp.ndarray:
+    """Mask of values with |Im| > tol (reference misc_filter_nonreal)."""
+    return jnp.abs(jnp.imag(jnp.asarray(vals))) > tol_im
+
+
+def downsample(q, dsub_desired: int):
+    """Decimate to ~dsub samples; returns (qsub, (first, last) indices)
+    (reference misc_downsample, misc.c:261-302)."""
+    import numpy as np
+
+    q = jnp.asarray(q)
+    d = q.shape[-1]
+    dsub, nskip = downsample_indices(d, dsub_desired)
+    idx = np.arange(dsub) * nskip
+    return q[..., idx], (0, int(idx[-1]))
+
+
 def merge_mask(vals, tol: float, mask=None) -> jnp.ndarray:
     """Keep the first of every cluster of points closer than ``tol``.
 
