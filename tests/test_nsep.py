@@ -104,9 +104,37 @@ def test_nsep_plane_wave_nonreal_only():
 @pytest.mark.parametrize("disc,d,mb,ab", [
     (ft.Discretization.SPLIT2A, 2048, 7.6e-5, 7.6e-8),
     (ft.Discretization.SPLIT4B, 1024, 7.6e-5, 2.5e-8),
+    (ft.Discretization.SPLIT4A4, 64, 6.8e-4, 1.3e-6),
 ], ids=lambda v: str(getattr(v, "value", v)))
 def test_nsep_constant_defocusing(disc, d, mb, ab):
     _run(_constant_defocusing_case, d, disc, mb, ab)
+
+
+def test_nsep_plane_wave_4split4B():
+    _run(_plane_wave_case, 512, ft.Discretization.SPLIT4B4, 1.6e-4, 6.1e-7)
+
+
+def test_nsep_spines():
+    """points_per_spine > 2 samples the spines between the band edges."""
+    d = 512
+    t_span = (0.0, 2 * np.pi)
+    t = t_span[0] + (t_span[1] - t_span[0]) / d * np.arange(d)
+    q = 2.0 * np.exp(3j * t)
+    opts2 = ft.NsepOpts(filtering=ft.PointFilter.MANUAL, bounding_box=BOX,
+                        localization=ft.Localization.SUBSAMPLE_AND_REFINE,
+                        points_per_spine=2)
+    opts5 = ft.NsepOpts(filtering=ft.PointFilter.MANUAL, bounding_box=BOX,
+                        localization=ft.Localization.SUBSAMPLE_AND_REFINE,
+                        points_per_spine=5)
+    r2 = ft.nsep(jnp.asarray(q), t_span, kappa=+1, want_aux=False, opts=opts2)
+    r5 = ft.nsep(jnp.asarray(q), t_span, kappa=+1, want_aux=False, opts=opts5)
+    assert len(r5.main_spectrum) > 1.5 * len(r2.main_spectrum)
+    # spine points of the plane wave lie on Re = -1.5 or the real axis
+    # (excluding the slowly-converging degenerate points near -1.5+0i,
+    # which the reference testcase also removes with a remove_box)
+    sp = np.asarray(r5.main_spectrum)
+    off_axis = sp[np.abs(np.imag(sp)) > 0.05]
+    assert np.max(np.abs(np.real(off_axis) + 1.5)) < 1e-3
 
 
 def test_nsep_quasiperiodic_phase_shift():
