@@ -43,17 +43,33 @@ def _rescale_exponents(coeffs, axes) -> jnp.ndarray:
     return jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0).astype(jnp.int32)
 
 
-def _tree_level_2x2(p, w, normalize: bool):
-    """One tree level: [..., n, 2, 2, c] -> [..., n//2, 2, 2, 2c-1]."""
-    c = p.shape[-1]
+_DIRECT_CONV_CUTOFF = 16  # below this length, convolve directly (tiny FFTs
+                          # are launch/latency-bound on TPU; direct products
+                          # fuse into a handful of elementwise kernels)
+
+
+def _matpoly_product(b, a):
+    """(b @ a)(z) for two [..., 2, 2, c] stacks -> [..., 2, 2, 2c-1]."""
+    c = a.shape[-1]
+    if c <= _DIRECT_CONV_CUTOFF:
+        out = jnp.zeros(a.shape[:-1] + (2 * c - 1,), dtype=a.dtype)
+        for s in range(c):
+            out = out.at[..., s: s + c].add(
+                jnp.einsum("...ik,...kjc->...ijc", b[..., s], a))
+        return out
     length = next_fft_length(2 * c - 1)
-    a = p[..., 0::2, :, :, :]   # earlier samples
-    b = p[..., 1::2, :, :, :]   # later samples
     fa = jnp.fft.fft(a, n=length, axis=-1)
     fb = jnp.fft.fft(b, n=length, axis=-1)
-    # later @ earlier, pointwise in the FFT domain (8 poly products, shared FFTs)
+    # pointwise product in the FFT domain (8 poly products, shared FFTs)
     fc = jnp.einsum("...ikl,...kjl->...ijl", fb, fa)
-    prod = jnp.fft.ifft(fc, axis=-1)[..., : 2 * c - 1].astype(p.dtype)
+    return jnp.fft.ifft(fc, axis=-1)[..., : 2 * c - 1].astype(a.dtype)
+
+
+def _tree_level_2x2(p, w, normalize: bool):
+    """One tree level: [..., n, 2, 2, c] -> [..., n//2, 2, 2, 2c-1]."""
+    a = p[..., 0::2, :, :, :]   # earlier samples
+    b = p[..., 1::2, :, :, :]   # later samples
+    prod = _matpoly_product(b, a)  # later @ earlier
     if w is not None:
         w = w[..., 0::2] + w[..., 1::2]
     if normalize:
