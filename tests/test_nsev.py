@@ -98,6 +98,30 @@ def test_nsev_convergence_order_2split4B():
         assert e2[key] <= e1[key] / 3.6, (key, e1[key], e2[key])
 
 
+def test_nsev_nonregression_odd_D_full_pipeline():
+    """D=126 through the full pipeline incl. bound states — guards the
+    subsampling index bug fixed in the reference (nonregression_1.c)."""
+    errs = _run_case(TC.SECH_FOCUSING, D_.SPLIT4B, 126, False, False)
+    assert errs["contspec"] is not None and np.isfinite(errs["contspec"])
+    assert errs["bound_states"] is not None
+
+
+@pytest.mark.parametrize("dsub_frac", [2, 4])
+def test_nsev_adaptable_subsampling(dsub_frac):
+    """User-chosen Dsub still localizes all bound states
+    (test_adaptable_subsampling_factor.c pattern)."""
+    d = 2048
+    data = nsev_testcase(TC.SECH_FOCUSING, d)
+    opts = ft.NsevOpts(discspec_type=ft.DiscspecType.BOTH,
+                       contspec_type=ft.ContspecType.BOTH,
+                       dsub=d // dsub_frac)
+    res = ft.nsev(jnp.asarray(data.q), data.t_span, m=data.m,
+                  xi_span=data.xi_span, kappa=+1, opts=opts)
+    errs = nsev_errors(res, data)
+    assert len(np.asarray(res.bound_states)) == 3
+    assert errs["bound_states"] <= 1e-4
+
+
 @pytest.mark.parametrize("d", [4095, 4097])
 def test_nsev_non_power_of_two_D(d):
     """Robustness at D +- 1 (reference pattern, e.g. 2split4B test)."""
