@@ -185,9 +185,14 @@ def poly_roots(coeffs, num_iters: int = 80):
 
     Drop-in for the reference's poly_roots_fasteigen (eiscor). The Newton
     polygon initialization needs concrete coefficient magnitudes, so this
-    function synchronizes once with the host; the sweeps run on device.
+    function synchronizes once with the host (using the native C++ hull
+    when built); the sweeps run on device.
     """
     coeffs = jnp.asarray(coeffs)
     abs_c = np.abs(np.asarray(jax.device_get(coeffs), dtype=np.complex128))
-    z0 = _newton_polygon_init(abs_c)
+    try:
+        from fnft_tpu.native import newton_polygon_init as _init
+        z0 = _init(abs_c)
+    except Exception:
+        z0 = _newton_polygon_init(abs_c)
     return aberth_roots(coeffs, jnp.asarray(z0), num_iters=num_iters)
