@@ -37,6 +37,44 @@ def make_mesh(devices=None, axis_names=("batch",)):
     return Mesh(devs, axis_names)
 
 
+def make_nsev_batch_fn(d: int, t_span, m: int, xi_span, *, kappa: int = +1,
+                       disc: Discretization = Discretization.SPLIT4B,
+                       contspec_type=None, mesh: Mesh | None = None):
+    """Compile a reusable batched forward-NFT function q[B, D] -> spectra.
+
+    The returned callable is jitted once per (D, M, grid) geometry and
+    returns a dict with 'rho' (and 'a', 'b' when contspec_type is AB/BOTH).
+    With a mesh, inputs/outputs shard over the 'batch' axis. This is the
+    production serving entry point: feed batches from
+    :func:`fnft_tpu.native.read_signal_batch` and keep the device busy.
+    """
+    from fnft_tpu.models.nsev import ContspecType
+
+    contspec_type = contspec_type or ContspecType.REFLECTION_COEFFICIENT
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    eps_t = (t1 - t0) / (d - 1)
+
+    def single(q):
+        q_eff, r_eff, _, _ = nse.preprocess_signal(q, eps_t, kappa, disc)
+        tm, w = fscatter(q_eff, r_eff, eps_t, disc)
+        h11, h21, w_ = _contspec_eval(tm, w, q_eff, r_eff, eps_t, t0, t1,
+                                      d, xi0, xi1, m, disc)
+        return _apply_phase_factors(h11, h21, w_, eps_t, t0, t1, d, xi0,
+                                    xi1, m, kappa, disc, contspec_type)
+
+    jitted = jax.jit(jax.vmap(single))
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("batch", None))
+
+        def run(q_batch):
+            # input sharding propagates through the whole batched program
+            return jitted(jax.device_put(jnp.asarray(q_batch), sharding))
+
+        return run
+    return jitted
+
+
 def batched_nsev_contspec(q_batch, t_span, m: int, xi_span, *, kappa: int = +1,
                           disc: Discretization = Discretization.SPLIT4B,
                           mesh: Mesh | None = None):
