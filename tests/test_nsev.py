@@ -98,6 +98,37 @@ def test_nsev_convergence_order_2split4B():
         assert e2[key] <= e1[key] / 3.6, (key, e1[key], e2[key])
 
 
+def test_nsev_BO_richardson():
+    """BO with Richardson extrapolation meets the tightened bounds
+    (fnft_nsev_test_sech_focusing_BO.c, error_bounds_RE)."""
+    data = nsev_testcase(TC.SECH_FOCUSING, 2048)
+    opts = ft.NsevOpts(contspec_type=ft.ContspecType.BOTH,
+                       discspec_type=ft.DiscspecType.BOTH,
+                       discretization=D_.BO,
+                       richardson_extrapolation=True)
+    res = nsev_with_initial_states(jnp.asarray(data.q), data.t_span,
+                                   data.bound_states, m=data.m,
+                                   xi_span=data.xi_span, kappa=+1, opts=opts)
+    errs = nsev_errors(res, data)
+    bounds_re = (1.2e-2, 1.2e-3, 1.5e-3, 7.5e-5, 5e-14, 5.1e-4)
+    for key, bound in zip(_KEYS, bounds_re):
+        assert errs[key] <= bound, (key, errs[key], bound)
+
+
+def test_nsev_complex64_accuracy():
+    """The complex64 fast path stays within ~1e-4 of complex128 at D=4096
+    (the TPU production mode's accuracy budget)."""
+    data = nsev_testcase(TC.SECH_FOCUSING, 4096)
+    res32 = ft.nsev(jnp.asarray(data.q.astype(np.complex64)), data.t_span,
+                    m=data.m, xi_span=data.xi_span, kappa=+1,
+                    want_bound_states=False)
+    assert np.asarray(res32.reflection_coefficient).dtype == np.complex64
+    err = float(np.sum(np.abs(np.asarray(res32.reflection_coefficient)
+                              - data.contspec))
+                / np.sum(np.abs(data.contspec)))
+    assert err <= 5e-4, err
+
+
 def test_nsev_nonregression_odd_D_full_pipeline():
     """D=126 through the full pipeline incl. bound states — guards the
     subsampling index bug fixed in the reference (nonregression_1.c)."""
