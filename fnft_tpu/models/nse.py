@@ -48,11 +48,31 @@ def preprocess_signal(q, eps_t: float, kappa: int, disc: Discretization,
     def conj_r(qe):
         return -kappa * jnp.conj(qe)
 
+    def _warn_if_not_bandlimited():
+        # reference warns when the resampling step is ill-posed
+        # (fnft__misc.c:370-380); only checkable on concrete (non-traced) data
+        try:
+            from fnft_tpu.utils.misc import bandlimit_violation
+            import math as _math
+
+            viol = float(bandlimit_violation(q, eps_t))
+            if viol > _math.sqrt(2.2e-16):
+                from fnft_tpu.errors import warn
+
+                warn("Signal does not appear to be bandlimited; the "
+                     "interpolation step may be inaccurate. Reduce the step "
+                     "size or use a discretization without resampling.")
+        except jax.errors.TracerArrayConversionError:
+            pass
+
+    import jax
+
     if ups == 1 and disc not in (Discretization.ES4, Discretization.TES4):
         q_eff = q[..., idx]
         r_eff = conj_r(q_eff)
     elif disc in (Discretization.CF4_2, Discretization.SPLIT4A4,
                   Discretization.SPLIT4B4):
+        _warn_if_not_bandlimited()
         s = math.sqrt(3.0) / 6.0
         shifts = np.array([-eps_t * s * nskip, eps_t * s * nskip])
         q12 = resample(q, eps_t, shifts)        # [..., 2, D]
@@ -64,6 +84,7 @@ def preprocess_signal(q, eps_t: float, kappa: int, disc: Discretization,
         r_eff = conj_r(q_eff)
     elif disc in (Discretization.CF4_3, Discretization.CF5_3,
                   Discretization.CF6_4):
+        _warn_if_not_bandlimited()
         node = math.sqrt(3.0 / 20.0) if disc is Discretization.CF4_3 \
             else math.sqrt(15.0) / 10.0  # identical values; kept for clarity
         shifts = np.array([-eps_t * node * nskip, eps_t * node * nskip])
