@@ -156,14 +156,34 @@ def aberth_roots(coeffs, z0, num_iters: int = 80):
     z0 = jnp.asarray(z0).astype(cdt)
     deg = coeffs.shape[-1] - 1
     tol = 100.0 * eps_of(cdt)
-    eye = jnp.eye(deg, dtype=bool)
+
+    def _pairwise_sum(z):
+        """sum_{j != i} 1/(z_i - z_j); chunked above 4096 roots to bound
+        the O(deg^2) distance matrix memory."""
+        if deg <= 4096:
+            eye = jnp.eye(deg, dtype=bool)
+            diff = z[:, None] - z[None, :]
+            inv = jnp.where(eye, 0.0, 1.0 / jnp.where(eye, 1.0, diff))
+            return jnp.sum(inv, axis=1)
+        chunk = 4096
+        nch = -(-deg // chunk)
+        zp = jnp.pad(z, (0, nch * chunk - deg))
+        idx = jnp.arange(deg)
+
+        def body(c, acc):
+            zc = jax.lax.dynamic_slice_in_dim(zp, c * chunk, chunk)
+            jc = c * chunk + jnp.arange(chunk)
+            diff = z[:, None] - zc[None, :]
+            bad = (idx[:, None] == jc[None, :]) | (jc[None, :] >= deg)
+            inv = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, diff))
+            return acc + jnp.sum(inv, axis=1)
+
+        return jax.lax.fori_loop(0, nch, body, jnp.zeros_like(z))
 
     def sweep(state):
         z, _, it = state
         w = _block_eval_ratio(coeffs, z)
-        diff = z[:, None] - z[None, :]
-        inv = jnp.where(eye, 0.0, 1.0 / jnp.where(eye, 1.0, diff))
-        s = jnp.sum(inv, axis=1)
+        s = _pairwise_sum(z)
         denom = 1.0 - w * s
         corr = w / jnp.where(denom == 0, 1.0, denom)
         z_new = z - corr

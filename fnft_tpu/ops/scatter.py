@@ -189,6 +189,60 @@ def _family_inputs(q, r, eps_t, disc):
     raise ValueError(f"{disc} is not a slow discretization")
 
 
+def _use_log_depth() -> bool:
+    """Tree/associative products on accelerators; sequential scans on CPU.
+
+    Same math either way — on TPU a D-step sequential recurrence costs
+    ~O(D) loop iterations of tiny work (latency-bound), while log-depth
+    batched matmuls use the hardware; on the (single-core) CPU the scan
+    avoids materializing every step matrix.
+    """
+    return jax.default_backend() != "cpu"
+
+
+def _all_step_matrices(xs, step_fn, lam, derivative: bool):
+    """All per-step matrices at once: U[S, K, 2, 2] (and dU or None)."""
+    def one(x):
+        u, du = step_fn(lam, x[0], x[1], x[2], derivative=derivative)
+        return u, (du if derivative else jnp.zeros(()))
+
+    u, du = jax.vmap(one)(xs)
+    return u, (du if derivative else None)
+
+
+def _pair_combine(a, b):
+    """Associative combine for (T, T') with later blocks on the left:
+    (AB = B @ A, (AB)' = B' A + B A')."""
+    am, ad = a
+    bm, bd = b
+    m = bm @ am
+    d = bd @ am + bm @ ad
+    return m, d
+
+
+def _tree_product(u, du):
+    """Log-depth product U[S-1] ... U[0] (+ derivative), padding with
+    identities. On TPU this turns the O(S) sequential recurrence into
+    log2(S) batched matmul levels."""
+    s = u.shape[0]
+    cdt = u.dtype
+    if du is None:
+        du = jnp.zeros_like(u)
+    import math as _math
+
+    s_pad = 1 << max(0, (s - 1)).bit_length()
+    if s_pad != s:
+        eye = jnp.broadcast_to(jnp.eye(2, dtype=cdt), (s_pad - s,) + u.shape[1:])
+        u = jnp.concatenate([u, eye], axis=0)
+        du = jnp.concatenate([du, jnp.zeros_like(eye)], axis=0)
+    levels = int(_math.log2(s_pad)) if s_pad > 1 else 0
+    for _ in range(levels):
+        a = (u[0::2], du[0::2])   # earlier
+        b = (u[1::2], du[1::2])   # later
+        u, du = _pair_combine(a, b)
+    return u[0], du[0]
+
+
 @partial(jax.jit, static_argnames=("eps_t", "disc", "derivative"))
 def scatter_matrix(q, r, lam, eps_t: float, disc: Discretization,
                    *, derivative: bool = False):
@@ -207,18 +261,23 @@ def scatter_matrix(q, r, lam, eps_t: float, disc: Discretization,
     lam = jnp.asarray(lam).astype(cdt)
     xs, step_fn, scl = _family_inputs(q, r, eps_t, disc)
 
-    k = lam.shape[0]
-    eye = jnp.broadcast_to(jnp.eye(2, dtype=cdt), (k, 2, 2))
+    if _use_log_depth():
+        u, du = _all_step_matrices(xs, step_fn, lam, derivative)
+        t, td = _tree_product(u, du)
+    else:
+        # single-core CPU: the sequential recurrence is cheaper than
+        # materializing all step matrices
+        k = lam.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(2, dtype=cdt), (k, 2, 2))
 
-    def body(carry, x):
-        t, td = carry
-        qn, rn, wn = x
-        U, dU = step_fn(lam, qn, rn, wn, derivative=derivative)
-        t_new = U @ t
-        td_new = dU @ t + U @ td if derivative else td
-        return (t_new, td_new), None
+        def body(carry, x):
+            t_, td_ = carry
+            u, du = step_fn(lam, x[0], x[1], x[2], derivative=derivative)
+            t_new = u @ t_
+            td_new = du @ t_ + u @ td_ if derivative else td_
+            return (t_new, td_new), None
 
-    (t, td), _ = jax.lax.scan(body, (eye, jnp.zeros_like(eye)), xs)
+        (t, td), _ = jax.lax.scan(body, (eye, jnp.zeros_like(eye)), xs)
     if derivative:
         return t, td * scl
     return t
@@ -252,18 +311,27 @@ def scatter_bound_states(q, r, lam, eps_t: float, t0: float, t1: float,
     te = t1 + eps_t * BOUNDARY_COEFF
 
     # ---- forward phi sweep (with derivative) --------------------------------
+    # prefix products P_n = U_n ... U_1 via associative scan: log-depth on TPU
     phi0 = jnp.stack([jnp.exp(-1j * lam * tb), jnp.zeros_like(lam)], axis=-1)
     dphi0 = jnp.stack([phi0[:, 0] * (-1j * tb), jnp.zeros_like(lam)], axis=-1)
 
-    def fwd(carry, x):
-        v, dv = carry
-        qn, rn, wn = x
-        U, dU = step_fn(lam, qn, rn, wn, derivative=True)
-        v_new = jnp.einsum("kij,kj->ki", U, v)
-        dv_new = jnp.einsum("kij,kj->ki", dU, v) + jnp.einsum("kij,kj->ki", U, dv)
-        return (v_new, dv_new), v_new
+    if _use_log_depth():
+        u, du = _all_step_matrices(xs, step_fn, lam, derivative=True)
+        pm, pd = jax.lax.associative_scan(_pair_combine, (u, du), axis=0)
+        phi_traj = jnp.einsum("skij,kj->ski", pm, phi0)
+        phi_end = phi_traj[-1]
+        dphi_end = jnp.einsum("kij,kj->ki", pd[-1], phi0) + \
+            jnp.einsum("kij,kj->ki", pm[-1], dphi0)
+    else:
+        def fwd(carry, x):
+            v, dv = carry
+            u, du = step_fn(lam, x[0], x[1], x[2], derivative=True)
+            v_new = jnp.einsum("kij,kj->ki", u, v)
+            dv_new = jnp.einsum("kij,kj->ki", du, v) + \
+                jnp.einsum("kij,kj->ki", u, dv)
+            return (v_new, dv_new), v_new
 
-    (phi_end, dphi_end), phi_traj = jax.lax.scan(fwd, (phi0, dphi0), xs)
+        (phi_end, dphi_end), phi_traj = jax.lax.scan(fwd, (phi0, dphi0), xs)
     phi_samples = jnp.concatenate(
         [phi0[None], phi_traj[store_every - 1::store_every]], axis=0)  # [D_given+1, K, 2]
 
@@ -276,15 +344,25 @@ def scatter_bound_states(q, r, lam, eps_t: float, t0: float, t1: float,
     # ---- backward psi sweep -------------------------------------------------
     psi_end = jnp.stack([jnp.zeros_like(lam), jnp.exp(1j * lam * te)], axis=-1)
 
-    def bwd(carry, x):
-        v = carry
-        qn, rn, wn = x
-        U, _ = step_fn(lam, qn, rn, wn, derivative=False, backward=True)
-        v_new = jnp.einsum("kij,kj->ki", U, v)
-        return v_new, v_new
-
     xs_rev = jax.tree.map(lambda a_: a_[::-1], xs)
-    _, psi_traj = jax.lax.scan(bwd, psi_end, xs_rev)
+    if _use_log_depth():
+        def one_bwd(x):
+            ub, _ = step_fn(lam, x[0], x[1], x[2], derivative=False,
+                            backward=True)
+            return ub
+
+        w = jax.vmap(one_bwd)(xs_rev)
+        rm, _ = jax.lax.associative_scan(_pair_combine, (w, jnp.zeros_like(w)),
+                                         axis=0)
+        psi_traj = jnp.einsum("skij,kj->ski", rm, psi_end)
+    else:
+        def bwd(carry, x):
+            u, _ = step_fn(lam, x[0], x[1], x[2], derivative=False,
+                           backward=True)
+            v_new = jnp.einsum("kij,kj->ki", u, carry)
+            return v_new, v_new
+
+        _, psi_traj = jax.lax.scan(bwd, psi_end, xs_rev)
     # psi_traj[i] = psi after undoing steps D-1 .. D-1-i; stored samples are
     # at original grid points D_given-1 .. 0
     psi_samples_rev = jnp.concatenate(
