@@ -50,10 +50,22 @@ CASES = [
      (7.7e-3, 3.8e-3, 1.2e-3, 1.2e-3, 3.2e-11, 4.8e-2), True, False),
     (TC.SECH_DEFOCUSING, D_.SPLIT2A, 4096,
      (2.2e-4, None, None, None, None, None), False, False),
+    (TC.SECH_DEFOCUSING, D_.SPLIT2_MODAL, 4096,
+     (1.2e-4, None, None, None, None, None), False, False),
     (TC.SECH_DEFOCUSING, D_.SPLIT4B4, 1024,
      (1.5e-6, None, None, None, None, None), False, False),
+    (TC.SECH_DEFOCUSING, D_.CF4_2, 512,
+     (2.7e-5, None, None, None, None, None), False, False),
+    (TC.SECH_DEFOCUSING, D_.CF5_3, 513,
+     (2.02e-6, None, None, None, None, None), False, False),
+    (TC.SECH_DEFOCUSING, D_.ES4, 513,
+     (6.6e-4, None, None, None, None, None), False, False),
+    (TC.SECH_DEFOCUSING, D_.TES4, 513,
+     (5e-4, None, None, None, None, None), False, False),
     (TC.TRUNCATED_SOLITON, D_.SPLIT2A, 1024,
      (1.8e-4, None, None, None, None, None), False, False),
+    (TC.TRUNCATED_SOLITON, D_.SPLIT2_MODAL, 1024,
+     (2.9e-4, None, None, None, None, None), False, False),
 ]
 
 _KEYS = ("contspec", "a", "b", "bound_states", "normconsts", "residues")
