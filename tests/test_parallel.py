@@ -30,6 +30,27 @@ def test_batched_contspec_matches_single():
                                    rtol=1e-10, atol=1e-12)
 
 
+def test_batched_full_spectrum():
+    """Batched contspec+bound-states pipeline: correct K and eigenvalues
+    across a batch with different soliton counts, fully on device."""
+    from fnft_tpu.parallel import make_batched_full_nsev
+    from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+
+    data = nsev_testcase(NsevTestcase.SECH_FOCUSING, 1024)
+    nft = make_batched_full_nsev(1024, data.t_span, data.m, data.xi_span,
+                                 k_max=6)
+    qb = np.stack([data.q, 0.7 * data.q]).astype(complex)
+    res = nft(qb)
+    bs0 = np.asarray(res.bound_states[0])[np.asarray(res.bound_state_mask[0])]
+    bs1 = np.asarray(res.bound_states[1])[np.asarray(res.bound_state_mask[1])]
+    assert len(bs0) == 3 and len(bs1) == 2
+    np.testing.assert_allclose(np.sort(bs0.imag), [0.7, 1.7, 2.7], atol=2e-3)
+    np.testing.assert_allclose(np.sort(bs1.imag), [0.74, 1.74], atol=2e-3)
+    # norming constants of the Satsuma-Yajima signal are +-i
+    nc0 = np.asarray(res.norming_constants[0])[np.asarray(res.bound_state_mask[0])]
+    np.testing.assert_allclose(np.abs(nc0), 1.0, atol=1e-3)
+
+
 def test_graft_entry_points():
     import __graft_entry__ as g
 
