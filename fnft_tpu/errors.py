@@ -34,6 +34,26 @@ def check_arg(cond: bool, message: str) -> None:
         raise InvalidArgumentError(message)
 
 
+_warn_handler = None
+
+
+def set_warn_handler(handler) -> None:
+    """Install a custom warning sink, or None to restore the default.
+
+    Mirrors the reference's pluggable printf (fnft_errwarn_setprintf,
+    src/fnft_errwarn.c:52-60).
+    """
+    global _warn_handler
+    _warn_handler = handler
+
+
+def get_warn_handler():
+    return _warn_handler
+
+
 def warn(message: str) -> None:
     """Soft condition reporting (reference: FNFT__WARN)."""
+    if _warn_handler is not None:
+        _warn_handler(message)
+        return
     warnings.warn(message, RuntimeWarning, stacklevel=2)

@@ -41,6 +41,27 @@ class KdvvResult:
     reflection_coefficient: Optional[jnp.ndarray] = None
 
 
+def kdv_scatter_matrix(q, lam, eps_t: float,
+                       disc: Discretization = Discretization.BO,
+                       *, derivative: bool = False):
+    """Slow KdV scattering matrix (reference fnft__kdv_scatter_matrix.c:33-143).
+
+    The AKNS r-potential is a per-stage constant: -1 for BO, the CF stage
+    weights times -1 for the commutator-free schemes.
+    """
+    import numpy as np
+
+    from fnft_tpu.models.discretization import lambda_stage_weights
+    from fnft_tpu.ops.scatter import scatter_matrix
+
+    q = jnp.asarray(q)
+    d = q.shape[-1]
+    stage_r = -np.asarray(lambda_stage_weights(disc))
+    reps = d // len(stage_r)
+    r = jnp.asarray(np.tile(stage_r, reps)).astype(complex_dtype_of(q))
+    return scatter_matrix(q, r, lam, eps_t, disc, derivative=derivative)
+
+
 def kdvv(u, t_span, *, m: int, xi_span, opts: KdvvOpts | None = None) -> KdvvResult:
     """Continuous KdV spectrum (reflection coefficient) on a xi grid."""
     opts = opts or KdvvOpts()

@@ -127,6 +127,29 @@ def test_addsoliton_cdt(dstype):
     assert float(rel_err(q, jnp.asarray(q_exact))) <= 0.0029
 
 
+def test_b_of_xi_with_discrete_spectrum():
+    """b(xi) + bound states (fnft_nsev_inverse_test_b_of_xi_w_discrete,
+    bound 0.00063 at D=512): A=2.45 sech has 2 solitons and a known b."""
+    import scipy.special as sp
+
+    d = m = 512
+    t_span = (-25.0, 25.0)
+    a_amp, t0 = 2.45, 0.0
+    t = np.linspace(*t_span, d)
+    q_exact = 1j * a_amp / np.cosh(t - t0)
+    xi_span = nsev_inverse_xi_grid(d, t_span, m)
+    xi = np.linspace(*xi_span, m)
+    b_xi = 1j * np.sin(np.pi * a_amp) / np.cosh(np.pi * xi)
+    bs = 1j * (a_amp - np.arange(2) - 0.5)   # [1.95i, 0.95i]
+    # Satsuma-Yajima norming constants alternate +-i from the top state
+    nc = np.array([1j, -1j])
+    opts = NsevInverseOpts(contspec_type=InverseContspecType.B_OF_XI)
+    q = nsev_inverse(jnp.asarray(b_xi), xi_span, d, t_span, kappa=+1,
+                     bound_states=bs, normconsts_or_residues=nc, opts=opts)
+    err = float(rel_err(q, jnp.asarray(q_exact)))
+    assert err <= 6.3e-4, err
+
+
 def test_roundtrip_with_discrete_spectrum():
     """Full spectrum round-trip: contspec + bound states of the A=3.4
     shifted sech (against_forward_w_discrete, bound 0.014 at D=512)."""
