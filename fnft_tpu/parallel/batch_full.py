@@ -37,6 +37,40 @@ from fnft_tpu.ops.scatter import scatter_bound_states
 from fnft_tpu.utils import misc
 
 
+def make_batched_inverse_fn(d: int, t_span, m: int, *,
+                            kappa: int = +1,
+                            disc: Discretization = Discretization.SPLIT2A,
+                            contspec_type=None):
+    """Compile a batched inverse NFT: rho[B, M] -> q[B, D] (contspec only;
+    bound states are added per signal via models.nsev_inverse)."""
+    from fnft_tpu.models.nsev_inverse import (
+        InverseContspecType,
+        NsevInverseOpts,
+        _build_tm_b_of_xi,
+        _build_tm_reflection,
+        nsev_inverse_xi_grid,
+    )
+    from fnft_tpu.ops.finvscatter import finvscatter
+
+    contspec_type = contspec_type or InverseContspecType.REFLECTION_COEFFICIENT
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi_span = nsev_inverse_xi_grid(d, t_span, m, disc)
+    eps_t = (t1 - t0) / (d - 1)
+    deg = d * degree(disc)
+    opts = NsevInverseOpts(discretization=disc, contspec_type=contspec_type)
+
+    def single(cs):
+        if contspec_type is InverseContspecType.B_OF_XI:
+            tm = _build_tm_b_of_xi(cs, xi_span, m, d, t0, t1, deg, kappa,
+                                   disc, opts)
+        else:
+            tm = _build_tm_reflection(cs, xi_span, m, d, t0, t1, deg, kappa,
+                                      disc, opts)
+        return finvscatter(tm, eps_t, kappa, disc)
+
+    return jax.jit(jax.vmap(single)), xi_span
+
+
 @dataclasses.dataclass
 class BatchedNsevResult:
     rho: Optional[jnp.ndarray]            # [B, M]
