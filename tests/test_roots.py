@@ -37,13 +37,25 @@ def _cases():
     return out
 
 
+def _norm_residual(c, z):
+    """|p(z)| / sum_k |c_k z^k| computed in log space (overflow-safe)."""
+    k = np.arange(len(c))
+    with np.errstate(divide="ignore"):
+        logs = np.log(np.abs(c))[None, :] + k[None, :] * \
+            np.log(np.maximum(np.abs(z), 1e-300))[:, None]
+    m = logs.max(axis=1, keepdims=True)
+    terms = np.exp(logs - m) * np.exp(1j * (np.angle(c)[None, :]
+                                            + k[None, :] * np.angle(z)[:, None]))
+    return np.max(np.abs(terms.sum(axis=1)) / np.abs(np.abs(terms).sum(axis=1)))
+
+
 @pytest.mark.parametrize("trial,kind,c", _cases(),
                          ids=[f"t{t}k{k}" for t, k, _ in _cases()])
 def test_aberth_backward_error_vs_lapack(trial, kind, c):
     got = np.asarray(poly_roots(jnp.asarray(c)))
     lapack = np.roots(c[::-1])
-    res_mine = np.abs(np.polyval(c[::-1], got)).max()
-    res_lapack = np.abs(np.polyval(c[::-1], lapack)).max()
+    res_mine = _norm_residual(c, got)
+    res_lapack = _norm_residual(c, lapack)
     # at least as backward-stable as LAPACK (small atol for exact zeros)
     assert res_mine <= 20.0 * res_lapack + 1e-12, (res_mine, res_lapack)
     # and the root count is exact
