@@ -41,6 +41,17 @@ class KdvvResult:
     reflection_coefficient: Optional[jnp.ndarray] = None
 
 
+def kdv_fscatter(u, eps_t: float, disc: Discretization,
+                 *, normalize: bool = True):
+    """KdV polynomial scattering matrix: r = -1 then the AKNS kernel
+    (reference fnft__kdv_fscatter.c:36-83)."""
+    from fnft_tpu.ops.fscatter import fscatter as akns_fscatter
+
+    u = jnp.asarray(u)
+    return akns_fscatter(u, -jnp.ones_like(u), eps_t, disc,
+                         normalize=normalize)
+
+
 def kdv_scatter_matrix(q, lam, eps_t: float,
                        disc: Discretization = Discretization.BO,
                        *, derivative: bool = False):

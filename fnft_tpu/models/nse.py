@@ -148,6 +148,27 @@ def phase_factor_b(eps_t: float, d_given: int, t0: float, t1: float,
     return pf
 
 
+def fscatter(q, eps_t: float, kappa: int, disc: Discretization,
+             *, normalize: bool = True):
+    """NSE polynomial scattering matrix: builds r = -kappa conj(q) and
+    delegates to the AKNS kernel (reference fnft__nse_fscatter.c:34-91)."""
+    from fnft_tpu.ops.fscatter import fscatter as akns_fscatter
+
+    q = jnp.asarray(q)
+    return akns_fscatter(q, -kappa * jnp.conj(q), eps_t, disc,
+                         normalize=normalize)
+
+
+def scatter_matrix(q, lam, eps_t: float, kappa: int, disc: Discretization,
+                   *, derivative: bool = False):
+    """NSE slow scattering matrix (reference fnft__nse_scatter_matrix.c:33-87)."""
+    from fnft_tpu.ops.scatter import scatter_matrix as akns_scatter_matrix
+
+    q = jnp.asarray(q)
+    return akns_scatter_matrix(q, -kappa * jnp.conj(q), lam, eps_t, disc,
+                               derivative=derivative)
+
+
 def newton_base_discretization(disc: Discretization) -> Discretization:
     """Slow scheme used for Newton refinement / norming constants of a fast
     scheme (fnft_nsev.c:675-681, 930-939)."""

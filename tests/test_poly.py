@@ -72,6 +72,24 @@ def test_chirpz_matches_direct_eval(m):
     np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-10)
 
 
+def test_fftgridsearch_paraherm():
+    """Unit-circle roots of a para-hermitian polynomial via sign changes
+    (reference fnft__poly_roots_fftgridsearch.c:162-219)."""
+    from fnft_tpu.ops.gridsearch import roots_fftgridsearch_paraherm
+    from fnft_tpu.utils.misc import compact_masked
+
+    # p(z) = prod (z - e^{i phi_k})(z - e^{-i phi_k}) * z-shift is
+    # para-hermitian: build from conjugate-reflected roots
+    phis = np.array([0.7, 1.9, 2.6])
+    roots = np.concatenate([np.exp(1j * phis), np.exp(-1j * phis)])
+    c = np.poly(roots)[::-1].astype(complex)
+    got, mask = roots_fftgridsearch_paraherm(
+        jnp.asarray(c), phi0=0.0, phi1=float(np.pi), m=2048)
+    got = compact_masked(np.asarray(got), np.asarray(mask))
+    got_phi = np.sort(np.angle(got))
+    np.testing.assert_allclose(got_phi, np.sort(phis), atol=1e-5)
+
+
 def test_poly_eval_and_derivative():
     rng = np.random.default_rng(5)
     c = rng.normal(size=9) + 1j * rng.normal(size=9)
