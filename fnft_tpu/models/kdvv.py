@@ -23,7 +23,7 @@ import numpy as np
 from fnft_tpu.config import complex_dtype_of
 from fnft_tpu.errors import check_arg
 from fnft_tpu.models.discretization import Discretization, degree, is_fast
-from fnft_tpu.ops.fscatter import fscatter
+
 from fnft_tpu.ops.poly import chirpz
 
 BOUNDARY_COEFF = 0.5
@@ -91,8 +91,7 @@ def kdvv(u, t_span, *, m: int, xi_span, opts: KdvvOpts | None = None) -> KdvvRes
     eps_xi = (xi1 - xi0) / (m - 1)
     deg1 = degree(disc)
 
-    r = -jnp.ones_like(u)
-    tm, _ = fscatter(u, r, eps_t, disc)
+    tm, _ = kdv_fscatter(u, eps_t, disc)
 
     # evaluate H12, H22 at z(-xi_i), xi_i = xi0 + i eps_xi
     a_pt = complex(np.exp(-2j * xi0 * eps_t / deg1))

@@ -51,19 +51,19 @@ def preprocess_signal(q, eps_t: float, kappa: int, disc: Discretization,
     def _warn_if_not_bandlimited():
         # reference warns when the resampling step is ill-posed
         # (fnft__misc.c:370-380); only checkable on concrete (non-traced) data
-        try:
-            from fnft_tpu.utils.misc import bandlimit_violation
-            import math as _math
+        if isinstance(q, jax.core.Tracer):
+            return
+        from fnft_tpu.config import eps_of
+        from fnft_tpu.utils.misc import bandlimit_violation
+        import math as _math
 
-            viol = float(bandlimit_violation(q, eps_t))
-            if viol > _math.sqrt(2.2e-16):
-                from fnft_tpu.errors import warn
+        viol = float(bandlimit_violation(q, eps_t))
+        if viol > _math.sqrt(eps_of(cdt)):
+            from fnft_tpu.errors import warn
 
-                warn("Signal does not appear to be bandlimited; the "
-                     "interpolation step may be inaccurate. Reduce the step "
-                     "size or use a discretization without resampling.")
-        except jax.errors.TracerArrayConversionError:
-            pass
+            warn("Signal does not appear to be bandlimited; the "
+                 "interpolation step may be inaccurate. Reduce the step "
+                 "size or use a discretization without resampling.")
 
     import jax
 

@@ -44,7 +44,6 @@ def _block_eval_ratio(coeffs, z):
     """
     deg = coeffs.shape[-1] - 1
     kvec = jnp.arange(deg + 1, dtype=jnp.real(coeffs).dtype)
-    dcoeffs = coeffs * kvec  # p'(z) = sum k c_k z^{k-1} (shifted by 1/z below)
 
     inside = jnp.abs(z) <= 1.0
     u = jnp.where(inside, z, 1.0 / jnp.where(z == 0, 1.0, z))

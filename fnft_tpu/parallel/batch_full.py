@@ -127,7 +127,6 @@ def make_batched_full_nsev(d: int, t_span, m: int, xi_span, *, k_max: int = 8,
         # circle initialization: data-independent (no host sync inside the
         # batched program); Aberth converges from circles for these
         # monodromy-type polynomials, trading sweeps for batchability
-        rdt = jnp.finfo(complex_dtype_of(q)).dtype
         ang = 2.0 * np.pi * (np.arange(deg_sub) + 0.5) / deg_sub + 0.3
         radii = np.exp(np.linspace(-0.25, 0.25, 8))[
             np.arange(deg_sub) % 8]
@@ -140,13 +139,20 @@ def make_batched_full_nsev(d: int, t_span, m: int, xi_span, *, k_max: int = 8,
         im_b = 1.5 * 0.25 * misc.l2norm2(q, t0, t1)
         box = (-re_b, re_b, 0.0, im_b)
         mask = misc.filter_mask(lam, box)
-        mask = misc.merge_mask(lam, misc.merge_tol_default(lam.dtype), mask)
 
-        # keep the k_max most significant candidates (largest imaginary part)
+        # preselect before the O(k^2) dedupe: a merge over all ~deg roots
+        # would materialize a deg x deg distance matrix
+        pre = min(4 * k_max, deg_sub)
         score = jnp.where(mask, jnp.imag(lam), -jnp.inf)
-        _, idx = jax.lax.top_k(score, k_max)
-        lam_k = lam[idx]
-        mask_k = mask[idx]
+        _, idx_pre = jax.lax.top_k(score, pre)
+        lam_pre = lam[idx_pre]
+        mask_pre = mask[idx_pre]
+        mask_pre = misc.merge_mask(lam_pre, misc.merge_tol_default(lam.dtype),
+                                   mask_pre)
+        score2 = jnp.where(mask_pre, jnp.imag(lam_pre), -jnp.inf)
+        _, idx = jax.lax.top_k(score2, k_max)
+        lam_k = lam_pre[idx]
+        mask_k = mask_pre[idx]
 
         lam_ref = _masked_newton(q_eff, r_eff, lam_k, mask_k, eps_t, t0, t1,
                                  base, niter, box)

@@ -26,14 +26,29 @@ from fnft_tpu.ops.fscatter import fscatter
 
 
 def make_mesh(devices=None, axis_names=("batch",)):
-    """A 1-D (or reshaped) device mesh over all available devices."""
+    """A device mesh over all available devices.
+
+    Multi-axis meshes factor the device count into near-square factors
+    (largest divisor <= sqrt(n) on the trailing axis), so non-perfect-power
+    counts like 8 devices on 2 axes give a (4, 2) mesh.
+    """
     import numpy as np
 
     devices = devices if devices is not None else jax.devices()
     devs = np.asarray(devices)
-    if len(axis_names) > 1:
-        side = int(round(len(devs) ** (1.0 / len(axis_names))))
-        devs = devs.reshape((side,) * len(axis_names))
+    n_axes = len(axis_names)
+    if n_axes > 1:
+        shape = []
+        remaining = len(devs)
+        for _ in range(n_axes - 1):
+            s = 1
+            for cand in range(1, int(remaining ** 0.5) + 1):
+                if remaining % cand == 0:
+                    s = cand
+            shape.append(remaining // s)
+            remaining = s
+        shape.append(remaining)
+        devs = devs.reshape(tuple(shape))
     return Mesh(devs, axis_names)
 
 

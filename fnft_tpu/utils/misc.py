@@ -129,6 +129,35 @@ def merge_mask(vals, tol: float, mask=None) -> jnp.ndarray:
     return mask & ~close_to_earlier
 
 
+def merge_points_host(vals, tol: float):
+    """Host-side dedupe of complex points within ``tol`` (keep-first).
+
+    Sorted sliding window in the real part makes this O(k log k + k w)
+    instead of a k x k distance matrix — the root arrays can reach ~4e4
+    entries for D=2^20 subsampled monodromy polynomials.
+    """
+    import numpy as np
+
+    vals = np.asarray(vals)
+    k = vals.shape[0]
+    if k <= 1:
+        return vals
+    order = np.argsort(vals.real, kind="stable")
+    svals = vals[order]
+    keep_sorted = np.ones(k, dtype=bool)
+    start = 0
+    for i in range(1, k):
+        while svals[i].real - svals[start].real > tol:
+            start += 1
+        window = svals[start:i][keep_sorted[start:i]]
+        if window.size and np.min(np.abs(window - svals[i])) < tol:
+            keep_sorted[i] = False
+    keep = np.zeros(k, dtype=bool)
+    keep[order] = keep_sorted
+    # preserve original (keep-first) ordering semantics
+    return vals[keep]
+
+
 def compact_masked(vals, mask):
     """Host-side compaction of (values, mask) into a short array."""
     import numpy as np
@@ -167,8 +196,10 @@ def bandlimit_violation(q, eps_t: float) -> jnp.ndarray:
     dlp = d // 20
     hi = jnp.concatenate([spec[d // 2 - 1 - dlp: d // 2 - 1],
                           spec[d // 2 + 1: d // 2 + 1 + dlp]])
-    num = l2norm2(hi, 0.0, 2 * dlp * eps_t)
-    den = l2norm2(spec, 0.0, 2 * dlp * eps_t)
+    # same trapezoid step h = eps_t for both norms (reference uses
+    # misc_l2norm2(Dlp, ..., 0, Dlp*eps_t) / misc_l2norm2(D, ..., 0, D*eps_t))
+    num = l2norm2(hi, 0.0, hi.shape[-1] * eps_t)
+    den = l2norm2(spec, 0.0, d * eps_t)
     return jnp.sqrt(num / den)
 
 
