@@ -1,0 +1,128 @@
+"""Pallas TPU kernels for the hot small-degree tree levels.
+
+The fmult tree's first few levels multiply huge batches of tiny polynomial
+matrices. As XLA ops each level round-trips the whole array through HBM;
+this kernel fuses L levels into one pass with everything VMEM-resident.
+
+Layout: the 128 lanes each carry an independent subtree of 2^L one-step
+matrices; the tree reduction runs along the sublane/leading axes with
+static index arithmetic, so every arithmetic op is a full-width vector op.
+Complex values travel as separate real/imag planes (Mosaic has no native
+complex vregs).
+
+Falls back to the XLA implementation when Pallas is unavailable or shapes
+don't fit (fnft_tpu.ops.poly uses the fallback by default; enable with
+``fnft_tpu.ops.poly.set_fused_early_levels(True)``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+
+
+def _fused_levels_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, levels: int,
+                         c_in: int):
+    """One program: [2^L, 4, c_in, LANES] -> [4, c_out, LANES].
+
+    Polynomial 2x2 matrix chain products, later @ earlier, ascending
+    coefficients; all loops static.
+    """
+    n_mats = 1 << levels
+    ar = ar_ref[0]
+    ai = ai_ref[0]
+
+    # mats[m] = (re, im) lists indexed [entry(4)][coeff] of [LANES] vectors
+    mats = []
+    for mi in range(n_mats):
+        re = [[ar[mi, e, k, :] for k in range(c_in)] for e in range(4)]
+        im = [[ai[mi, e, k, :] for k in range(c_in)] for e in range(4)]
+        mats.append((re, im))
+
+    c = c_in
+    for _ in range(levels):
+        nxt = []
+        for p in range(len(mats) // 2):
+            a_re, a_im = mats[2 * p]       # earlier
+            b_re, b_im = mats[2 * p + 1]   # later
+            c_out = 2 * c - 1
+            zero = jnp.zeros_like(a_re[0][0])
+            o_re = [[zero for _ in range(c_out)] for _ in range(4)]
+            o_im = [[zero for _ in range(c_out)] for _ in range(4)]
+            # (b @ a): out[i,j] = sum_k b[i,k] * a[k,j]
+            for i in range(2):
+                for j in range(2):
+                    oe = 2 * i + j
+                    for k in range(2):
+                        be, ae = 2 * i + k, 2 * k + j
+                        for cb in range(c):
+                            br = b_re[be][cb]
+                            bi = b_im[be][cb]
+                            for ca in range(c):
+                                arr = a_re[ae][ca]
+                                aii = a_im[ae][ca]
+                                t = cb + ca
+                                o_re[oe][t] = o_re[oe][t] + br * arr - bi * aii
+                                o_im[oe][t] = o_im[oe][t] + br * aii + bi * arr
+            nxt.append((o_re, o_im))
+        mats = nxt
+        c = 2 * c - 1
+
+    out_re, out_im = mats[0]
+    for e in range(4):
+        for k in range(c):
+            or_ref[0, e, k, :] = out_re[e][k]
+            oi_ref[0, e, k, :] = out_im[e][k]
+
+
+def fused_tree_levels(p, levels: int, *, interpret: bool = False):
+    """Fuse ``levels`` fmult-tree levels: [n, 2, 2, c] -> [n/2^L, 2, 2, c_out].
+
+    Requires n divisible by 2^L * 128. Complex input of any width; compute
+    runs in float32 pairs (complex64 semantics) unless the input is
+    complex128 on a CPU backend (interpret mode), where float64 is kept.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, _, _, c_in = p.shape
+    group = (1 << levels) * LANES
+    if n % group:
+        raise ValueError(f"n={n} must be divisible by {group}")
+    c_out = (c_in - 1) * (1 << levels) + 1
+    blocks = n // group
+    rdt = jnp.float64 if p.dtype == jnp.complex128 else jnp.float32
+
+    # [n, 2, 2, c] -> [blocks, 2^L, 4, c, LANES]: each lane carries one
+    # contiguous subtree of 2^L consecutive matrices (tree pairs adjacent
+    # time indices), so the reduction axis is the slot axis.
+    x = p.reshape(blocks, LANES, 1 << levels, 2, 2, c_in)
+    x = jnp.moveaxis(x, 1, -1)                      # [blocks, 2^L, 2, 2, c, LANES]
+    x = x.reshape(blocks, 1 << levels, 4, c_in, LANES)
+
+    ar = jnp.real(x).astype(rdt)
+    ai = jnp.imag(x).astype(rdt)
+
+    kern = partial(_fused_levels_kernel, levels=levels, c_in=c_in)
+    out_shape = [jax.ShapeDtypeStruct((blocks, 4, c_out, LANES), rdt)] * 2
+    or_, oi_ = pl.pallas_call(
+        kern,
+        grid=(blocks,),
+        in_specs=[pl.BlockSpec((1, 1 << levels, 4, c_in, LANES),
+                               lambda b: (b, 0, 0, 0, 0)),
+                  pl.BlockSpec((1, 1 << levels, 4, c_in, LANES),
+                               lambda b: (b, 0, 0, 0, 0))],
+        out_specs=[pl.BlockSpec((1, 4, c_out, LANES), lambda b: (b, 0, 0, 0)),
+                   pl.BlockSpec((1, 4, c_out, LANES), lambda b: (b, 0, 0, 0))],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(ar, ai)
+
+    out = (or_ + 1j * oi_).astype(p.dtype)          # [blocks, 4, c_out, LANES]
+    out = jnp.moveaxis(out, -1, 1)                  # [blocks, LANES, 4, c_out]
+    return out.reshape(blocks * LANES, 2, 2, c_out)

@@ -91,6 +91,21 @@ def _pad_to_power_of_2_2x2(p):
     return jnp.concatenate([p, eye], axis=-4), n_pad - n
 
 
+_FUSED_EARLY_LEVELS = 0  # 0 = off; set via set_fused_early_levels
+
+
+def set_fused_early_levels(levels: int) -> None:
+    """Enable the Pallas fused kernel for the first ``levels`` tree levels
+    (0 disables). Requires TPU (or interpret mode via CPU); applies when
+    the batch is unbatched, n is divisible by 2^levels * 128, and the
+    per-step degree is small."""
+    global _FUSED_EARLY_LEVELS
+    if int(levels) != _FUSED_EARLY_LEVELS:
+        _FUSED_EARLY_LEVELS = int(levels)
+        # the flag is read at trace time: drop stale compiled programs
+        jax.clear_caches()
+
+
 def fmult2x2_tree(p, *, normalize: bool = True):
     """Multiply a stack of 2x2 polynomial matrices via a log-depth FFT tree.
 
@@ -109,8 +124,24 @@ def fmult2x2_tree(p, *, normalize: bool = True):
     deg_in = p.shape[-1] - 1
     p, _ = _pad_to_power_of_2_2x2(p)
     n_pad = p.shape[-4]
-    w = jnp.zeros(p.shape[:-4] + (n_pad,), dtype=jnp.int32) if normalize else None
     levels = int(math.log2(n_pad)) if n_pad > 1 else 0
+
+    fuse = _FUSED_EARLY_LEVELS
+    if (fuse > 0 and p.ndim == 4 and deg_in + 1 <= 4 and levels > fuse
+            and n_pad % ((1 << fuse) * 128) == 0):
+        from fnft_tpu.ops.pallas_kernels import fused_tree_levels
+
+        interpret = jax.default_backend() == "cpu"
+        p = fused_tree_levels(p, fuse, interpret=interpret)
+        levels -= fuse
+        w = None
+        if normalize:
+            a_exp = _rescale_exponents(p, axes=(-3, -2, -1))
+            p = p * jnp.exp2(-a_exp.astype(jnp.real(p).dtype))[..., None, None, None]
+            w = a_exp
+    else:
+        w = jnp.zeros(p.shape[:-4] + (n_pad,), dtype=jnp.int32) \
+            if normalize else None
     for _ in range(levels):
         p, w = _tree_level_2x2(p, w, normalize)
     result = p[..., 0, :, :, :]
