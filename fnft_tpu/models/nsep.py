@@ -74,6 +74,7 @@ class NsepOpts:
     discretization: Discretization = Discretization.SPLIT2A
     floquet_range: tuple = (-1.0, 1.0)
     points_per_spine: int = 2
+    normalization_flag: bool = True
     dsub: int = 0
     tol: float = -1.0  # negative = auto (sqrt machine eps)
 
@@ -105,7 +106,8 @@ def _monodromy_poly(tm11, tm_w):
 def _gridsearch(q_pre, eps_t, kappa, box, opts, want_main, want_aux):
     disc = opts.discretization
     q_eff, r_eff, _, _ = nse.preprocess_signal(q_pre, eps_t, kappa, disc)
-    tm, w = fscatter(q_eff, r_eff, eps_t, disc)
+    tm, w = fscatter(q_eff, r_eff, eps_t, disc,
+                     normalize=getattr(opts, 'normalization_flag', True))
     deg = tm.shape[-1] - 1
     map_coeff = 2.0 / degree(disc)
     if opts.filtering is PointFilter.AUTO:
@@ -217,7 +219,8 @@ def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
     nskip = d // dsub_act
     eps_t_sub = nskip * eps_t
 
-    tm, w = fscatter(qs_eff, rs_eff, eps_t_sub, disc)
+    tm, w = fscatter(qs_eff, rs_eff, eps_t_sub, disc,
+                     normalize=getattr(opts, 'normalization_flag', True))
     deg = tm.shape[-1] - 1
     map_coeff = 2.0 / degree(disc)
     if opts.filtering is PointFilter.AUTO:

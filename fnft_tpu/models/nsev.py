@@ -77,6 +77,7 @@ class NsevOpts:
     dsub: int = 0  # 0 = auto
     discspec_type: DiscspecType = DiscspecType.NORMING_CONSTANTS
     contspec_type: ContspecType = ContspecType.REFLECTION_COEFFICIENT
+    normalization_flag: bool = True
     discretization: Discretization = Discretization.SPLIT4B
     richardson_extrapolation: bool = False
 
@@ -225,7 +226,8 @@ def _nsev_base(q_eff, r_eff, q_orig, t0, t1, m, xi0, xi1, kappa, opts,
 
     tm, w = (None, jnp.zeros((), jnp.int32))
     if is_fast(disc):
-        tm, w = fscatter(q_eff, r_eff, eps_t, disc)
+        tm, w = fscatter(q_eff, r_eff, eps_t, disc,
+                         normalize=opts.normalization_flag)
 
     result = NsevResult()
     if want_contspec and m > 0:
