@@ -39,6 +39,42 @@ class KdvvOpts:
 @dataclasses.dataclass
 class KdvvResult:
     reflection_coefficient: Optional[jnp.ndarray] = None
+    bound_states: Optional[np.ndarray] = None  # zeta_n = i kappa_n
+
+
+def kdvv_bound_states(u, t_span, *, opts: KdvvOpts | None = None,
+                      tol_re: float = 1e-2):
+    """Discrete KdV spectrum zeta_n = i kappa_n (eigenvalues E_n = -kappa_n^2).
+
+    EXTENSION beyond the reference, which has this "not yet implemented"
+    (src/fnft_kdvv.c:87-92): locate zeros of a(zeta) on the positive
+    imaginary axis via the Aberth rootfinder on the transfer-matrix
+    polynomial, like nsev's FAST_EIGENVALUE path.
+    """
+    from fnft_tpu.models.discretization import z_to_lambda
+    from fnft_tpu.ops.roots import poly_roots
+    from fnft_tpu.utils import misc
+
+    opts = opts or KdvvOpts()
+    disc = opts.discretization
+    u = jnp.asarray(u)
+    cdt = complex_dtype_of(u)
+    u = u.astype(cdt)
+    d = u.shape[-1]
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    eps_t = (t1 - t0) / (d - 1)
+    tm, _ = kdv_fscatter(u, eps_t, disc)
+    roots_z = poly_roots(tm[0, 0])
+    lam = np.asarray(z_to_lambda(roots_z, eps_t, disc))
+    # keep near-imaginary-axis roots with positive imaginary part, inside
+    # the resolvable band, then dedupe
+    deg1 = degree(disc)
+    im_max = 0.9 * np.pi / (2.0 / deg1 * eps_t)
+    keep = (np.abs(lam.real) < tol_re) & (lam.imag > tol_re) \
+        & (lam.imag < im_max)
+    lam = 1j * np.unique(np.round(lam.imag[keep], 12))
+    lam = misc.merge_points_host(lam, 1e-6)
+    return lam
 
 
 def kdv_fscatter(u, eps_t: float, disc: Discretization,

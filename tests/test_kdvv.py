@@ -73,6 +73,22 @@ def test_kdvv_rect(ampl, bound):
     assert err <= bound, err
 
 
+def test_kdvv_bound_states_poschl_teller():
+    """Extension beyond the reference: KdV discrete spectrum of
+    A sech^2(t), A = s(s+1), has kappa_n = s - n exactly."""
+    from fnft_tpu.models.kdvv import KdvvOpts, kdvv_bound_states
+
+    for s in (1.3, 2.0):
+        a_amp = s * (s + 1)
+        t = np.linspace(-20, 20, 1024)
+        u = a_amp / np.cosh(t) ** 2
+        bs = kdvv_bound_states(jnp.asarray(u + 0j), (-20.0, 20.0),
+                               opts=KdvvOpts(discretization=ft.Discretization.SPLIT4B))
+        exact = np.array([s - n for n in range(int(np.ceil(s)))])
+        np.testing.assert_allclose(np.sort(bs.imag), np.sort(exact),
+                                   atol=2e-4)
+
+
 def test_kdvv_convergence():
     """2nd-order decay of the sech contspec error with D."""
     errs = []
