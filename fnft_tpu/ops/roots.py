@@ -138,6 +138,78 @@ def _newton_polygon_init(abs_coeffs: np.ndarray) -> np.ndarray:
     return guesses[:n]
 
 
+def newton_polygon_init_jax(coeffs):
+    """Traceable Newton-polygon initial guesses (Bini) for ``coeffs``.
+
+    Builds the upper convex hull of (k, log|c_k|) with a lax.scan (stack in
+    a fixed-size array), then places roots on the per-segment circles. All
+    shapes static: returns ``[deg]`` initial points. Vmappable, so batched
+    pipelines get polygon-quality starts without host syncs.
+    """
+    coeffs = jnp.asarray(coeffs)
+    n1 = coeffs.shape[-1]
+    deg = n1 - 1
+    rdt = jnp.real(coeffs).dtype
+    absc = jnp.abs(coeffs)
+    neg_inf = jnp.asarray(-jnp.inf, rdt)
+    logc = jnp.where(absc > 0, jnp.log(jnp.where(absc > 0, absc, 1.0)),
+                     neg_inf)
+
+    # Andrew monotone chain (upper hull) over valid points
+    def push(carry, k):
+        stack, size = carry  # stack: int32[n1], size: int32
+        valid = jnp.isfinite(logc[k])
+
+        def pop_cond(state):
+            st, sz = state
+            i = st[jnp.maximum(sz - 2, 0)]
+            j = st[jnp.maximum(sz - 1, 0)]
+            drop = (logc[j] - logc[i]) * (k - i).astype(rdt) <= \
+                (logc[k] - logc[i]) * (j - i).astype(rdt)
+            return (sz >= 2) & drop
+
+        def pop_body(state):
+            st, sz = state
+            return st, sz - 1
+
+        stack, size = jax.lax.cond(
+            valid,
+            lambda s: jax.lax.while_loop(pop_cond, pop_body, s),
+            lambda s: s, (stack, size))
+        stack = jnp.where(valid, stack.at[size].set(k), stack)
+        size = jnp.where(valid, size + 1, size)
+        return (stack, size), None
+
+    stack0 = jnp.zeros((n1,), jnp.int32)
+    (stack, size), _ = jax.lax.scan(push, (stack0, jnp.int32(0)),
+                                    jnp.arange(n1))
+
+    # per-coefficient segment assignment: root slot r (0..deg-1) belongs to
+    # hull segment (stack[s], stack[s+1]) covering ks in [stack[s], stack[s+1})
+    seg_start = stack                                  # [n1]
+    seg_end = jnp.roll(stack, -1)                      # [n1]
+    seg_valid = jnp.arange(n1) < (size - 1)
+    # radius per segment
+    a_idx, b_idx = seg_start, seg_end
+    safe_m = jnp.maximum((b_idx - a_idx).astype(rdt), 1.0)
+    r_seg = jnp.exp((logc[a_idx] - logc[b_idx]) / safe_m)
+    r_seg = jnp.clip(jnp.where(seg_valid, r_seg, 1.0), 1e-12, 1e12)
+
+    # map each root slot to its segment via searchsorted on seg_start
+    slots = jnp.arange(deg)
+    first = stack[0]
+    pos = jnp.clip(slots + first, 0, n1 - 1)   # roots indexed from the first hull vertex
+    starts = jnp.where(seg_valid, seg_start, n1 + 1)
+    seg_of = jnp.clip(jnp.searchsorted(starts, pos, side="right") - 1, 0,
+                      n1 - 1)
+    radius = r_seg[seg_of]
+    m_seg = jnp.maximum(seg_end[seg_of] - seg_start[seg_of], 1).astype(rdt)
+    j_in = (pos - seg_start[seg_of]).astype(rdt)
+    two_pi = 6.283185307179586
+    ang = two_pi * (j_in + 0.5) / m_seg + 0.7 * seg_end[seg_of].astype(rdt)
+    return (radius * jnp.exp(1j * ang)).astype(complex_dtype_of(coeffs))
+
+
 @partial(jax.jit, static_argnames=("num_iters",))
 def aberth_roots(coeffs, z0, num_iters: int = 80):
     """Run Ehrlich–Aberth sweeps from initial guesses ``z0``.

@@ -124,14 +124,12 @@ def make_batched_full_nsev(d: int, t_span, m: int, xi_span, *, k_max: int = 8,
         coeffs = tm[0, 0]
         deg_sub = coeffs.shape[-1] - 1
 
-        # circle initialization: data-independent (no host sync inside the
-        # batched program); Aberth converges from circles for these
-        # monodromy-type polynomials, trading sweeps for batchability
-        ang = 2.0 * np.pi * (np.arange(deg_sub) + 0.5) / deg_sub + 0.3
-        radii = np.exp(np.linspace(-0.25, 0.25, 8))[
-            np.arange(deg_sub) % 8]
-        z0 = jnp.asarray(radii * np.exp(1j * ang))
-        roots_z = aberth_roots(coeffs, z0, num_iters=120)
+        # traced Newton-polygon initialization: polygon-quality starts with
+        # no host sync inside the batched program
+        from fnft_tpu.ops.roots import newton_polygon_init_jax
+
+        z0 = newton_polygon_init_jax(coeffs)
+        roots_z = aberth_roots(coeffs, z0, num_iters=100)
         lam = z_to_lambda(roots_z, eps_sub, disc)
 
         # bounding box (reference re/im bounds)
