@@ -1,0 +1,281 @@
+"""Double-float (df64) arithmetic: ~double precision from float32 pairs.
+
+TPUs have no f64 ALUs; XLA emulation is slow or unsupported. A df64 value
+represents x = hi + lo with |lo| <= ulp(hi)/2, giving ~49 bits of mantissa
+from two float32s — enough to push the fmult tree / chirp-Z roundoff from
+~1e-6 to ~1e-12 while staying on the VPU/MXU.
+
+Algorithms: Knuth two-sum, Dekker split/two-prod (Veltkamp splitting; no
+FMA assumption), add22/mul22 (Dekker 1971, Bailey's ddfun conventions).
+Complex df64 values are (re, im) pairs of df64 pairs. The FFT is an
+iterative radix-2 Stockham over df64 complex arrays with twiddles
+precomputed in float64 on the host and split into hi/lo planes.
+
+Used by :func:`fmult2x2_tree_df64` (high-precision polynomial matrix
+products) — see docs/performance.md for the precision story.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SPLITTER = 4097.0  # 2^12 + 1 for float32 Veltkamp splitting
+
+
+# ---------------------------------------------------------------------------
+# real df64 primitives (each value is a (hi, lo) pair of float32 arrays)
+# ---------------------------------------------------------------------------
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_two_sum(a, b):
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def _split(a):
+    c = _SPLITTER * a
+    hi = c - (c - a)
+    lo = a - hi
+    return hi, lo
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def df_from_f64(x):
+    """Split float64 (or complex128 handled by caller) into float32 pairs."""
+    hi = x.astype(jnp.float32) if hasattr(x, "astype") else np.float32(x)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def df_to_f64(x):
+    hi, lo = x
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def df_add(x, y):
+    xh, xl = x
+    yh, yl = y
+    s, e = _two_sum(xh, yh)
+    e = e + (xl + yl)
+    return _quick_two_sum(s, e)
+
+
+def df_neg(x):
+    return (-x[0], -x[1])
+
+
+def df_sub(x, y):
+    return df_add(x, df_neg(y))
+
+
+def df_mul(x, y):
+    xh, xl = x
+    yh, yl = y
+    p, e = _two_prod(xh, yh)
+    e = e + (xh * yl + xl * yh)
+    return _quick_two_sum(p, e)
+
+
+# ---------------------------------------------------------------------------
+# complex df64: ((re_hi, re_lo), (im_hi, im_lo))
+# ---------------------------------------------------------------------------
+
+def cdf_from_c128(z):
+    z = jnp.asarray(z)
+    re = jnp.real(z)
+    im = jnp.imag(z)
+    return (df_from_f64(re), df_from_f64(im))
+
+
+def cdf_to_c128(z):
+    re, im = z
+    return df_to_f64(re) + 1j * df_to_f64(im)
+
+
+def cdf_add(x, y):
+    return (df_add(x[0], y[0]), df_add(x[1], y[1]))
+
+
+def cdf_sub(x, y):
+    return (df_sub(x[0], y[0]), df_sub(x[1], y[1]))
+
+
+def cdf_mul(x, y):
+    xr, xi = x
+    yr, yi = y
+    re = df_sub(df_mul(xr, yr), df_mul(xi, yi))
+    im = df_add(df_mul(xr, yi), df_mul(xi, yr))
+    return (re, im)
+
+
+def _cdf_stack(parts, axis=0):
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=axis), *parts)
+
+
+def _cdf_index(z, idx):
+    return jax.tree.map(lambda a: a[idx], z)
+
+
+def _cdf_zeros_like(z, shape=None):
+    def f(a):
+        return jnp.zeros(shape if shape is not None else a.shape, a.dtype)
+    return jax.tree.map(f, z)
+
+
+# ---------------------------------------------------------------------------
+# radix-2 Stockham FFT in df64
+# ---------------------------------------------------------------------------
+
+def _twiddles(length: int, sign: int):
+    """Host-precomputed df64 twiddle planes for each stage."""
+    out = []
+    half = length // 2
+    k = np.arange(half)
+    w = np.exp(sign * 2j * np.pi * k / length)
+    re, im = np.real(w), np.imag(w)
+    re_hi = re.astype(np.float32)
+    re_lo = (re - re_hi.astype(np.float64)).astype(np.float32)
+    im_hi = im.astype(np.float32)
+    im_lo = (im - im_hi.astype(np.float64)).astype(np.float32)
+    return ((jnp.asarray(re_hi), jnp.asarray(re_lo)),
+            (jnp.asarray(im_hi), jnp.asarray(im_lo)))
+
+
+def _bit_reverse_indices(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+@partial(jax.jit, static_argnames=("length", "inverse"))
+def fft_df64(z, length: int, *, inverse: bool = False):
+    """FFT along the last axis of a df64 complex array (power-of-2 length).
+
+    Iterative radix-2 DIT: one bit-reversal gather plus log2(length)
+    vectorized butterfly stages — O(log n) traced operations, fully
+    batched over leading axes. ``z`` is ((re_hi, re_lo), (im_hi, im_lo))
+    with the trailing axis already padded to ``length``.
+    """
+    assert length & (length - 1) == 0
+    sign = 1 if inverse else -1
+    n = length
+    perm = jnp.asarray(_bit_reverse_indices(n))
+    x = jax.tree.map(lambda t: t[..., perm], z)
+    m = 1
+    while m < n:
+        blocks = n // (2 * m)
+
+        def reshaped(t):
+            return t.reshape(t.shape[:-1] + (blocks, 2, m))
+
+        xr = jax.tree.map(reshaped, x)
+        a = _cdf_index(xr, (Ellipsis, 0, slice(None)))
+        b = _cdf_index(xr, (Ellipsis, 1, slice(None)))
+        tw = _twiddles(2 * m, sign)  # w^j, j in [0, m)
+        t_ = cdf_mul(b, tw)
+        lo = cdf_add(a, t_)
+        hi = cdf_sub(a, t_)
+        x = jax.tree.map(
+            lambda l, h: jnp.stack([l, h], axis=-2).reshape(
+                l.shape[:-2] + (n,)),
+            lo, hi)
+        m *= 2
+    if inverse:
+        inv_n = 1.0 / n
+        x = jax.tree.map(lambda t: t * inv_n, x)
+    return x
+
+
+def _pad_last(z, length):
+    def f(t):
+        pad = [(0, 0)] * (t.ndim - 1) + [(0, length - t.shape[-1])]
+        return jnp.pad(t, pad)
+    return jax.tree.map(f, z)
+
+
+# ---------------------------------------------------------------------------
+# high-precision polynomial matrix tree
+# ---------------------------------------------------------------------------
+
+def _matpoly_product_df64(b, a, length: int):
+    """(b @ a)(z) on df64 coefficient arrays [..., 2, 2, c]."""
+    fa = fft_df64(_pad_last(a, length), length)
+    fb = fft_df64(_pad_last(b, length), length)
+    # 2x2 polynomial matrix product in the FFT domain
+    def entry(i, j):
+        t0 = cdf_mul(_cdf_index(fb, (Ellipsis, i, 0, slice(None))),
+                     _cdf_index(fa, (Ellipsis, 0, j, slice(None))))
+        t1 = cdf_mul(_cdf_index(fb, (Ellipsis, i, 1, slice(None))),
+                     _cdf_index(fa, (Ellipsis, 1, j, slice(None))))
+        return cdf_add(t0, t1)
+
+    rows = []
+    for i in range(2):
+        cols = [entry(i, j) for j in range(2)]
+        rows.append(_cdf_stack(cols, axis=-2))
+    fc = _cdf_stack(rows, axis=-3)
+    return fft_df64(fc, length, inverse=True)
+
+
+def fmult2x2_tree_df64(p):
+    """High-precision tree product of ``[n, 2, 2, c]`` complex128 inputs.
+
+    Runs entirely in float32-pair arithmetic (TPU-executable) and returns
+    (coefficients complex128, w int32) with the same 2^w normalization
+    semantics as :func:`fnft_tpu.ops.poly.fmult2x2_tree`.
+    """
+    from fnft_tpu.utils.misc import next_fft_length, next_power_of_2
+
+    p = jnp.asarray(p)
+    n = p.shape[0]
+    deg_in = p.shape[-1] - 1
+    n_pad = next_power_of_2(n)
+    if n_pad != n:
+        eye = np.zeros((n_pad - n, 2, 2, p.shape[-1]), dtype=np.complex128)
+        eye[:, 0, 0, 0] = 1.0
+        eye[:, 1, 1, 0] = 1.0
+        p = jnp.concatenate([p, jnp.asarray(eye)], axis=0)
+
+    z = cdf_from_c128(p)
+    w = jnp.zeros((n_pad,), jnp.int32)
+    levels = int(math.log2(n_pad)) if n_pad > 1 else 0
+    c = deg_in + 1
+    for _ in range(levels):
+        a = _cdf_index(z, (slice(0, None, 2),))
+        b = _cdf_index(z, (slice(1, None, 2),))
+        length = next_fft_length(2 * c - 1)
+        prod = _matpoly_product_df64(b, a, length)
+        prod = _cdf_index(prod, (Ellipsis, slice(0, 2 * c - 1)))
+        # per-matrix power-of-two rescale on the hi planes
+        hi_mag = jnp.maximum(jnp.abs(prod[0][0]), jnp.abs(prod[1][0]))
+        max_abs = jnp.max(hi_mag, axis=(-3, -2, -1))
+        safe = jnp.where(max_abs > 0, max_abs, 1.0)
+        a_exp = jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0)
+        scale = jnp.exp2(-a_exp)[..., None, None, None].astype(jnp.float32)
+        z = jax.tree.map(lambda t: t * scale, prod)
+        w = w[0::2] + w[1::2] + a_exp.astype(jnp.int32)
+        c = 2 * c - 1
+    out = cdf_to_c128(_cdf_index(z, (0,)))
+    return out[..., : n * deg_in + 1], w[0]
