@@ -169,43 +169,78 @@ def _bit_reverse_indices(n: int) -> np.ndarray:
     return rev
 
 
+_FFT_LOOP_THRESHOLD = 64  # lengths above this use the fori_loop body
+
+
 @partial(jax.jit, static_argnames=("length", "inverse"))
 def fft_df64(z, length: int, *, inverse: bool = False):
     """FFT along the last axis of a df64 complex array (power-of-2 length).
 
-    Iterative radix-2 DIT: one bit-reversal gather plus log2(length)
-    vectorized butterfly stages — O(log n) traced operations, fully
-    batched over leading axes. ``z`` is ((re_hi, re_lo), (im_hi, im_lo))
-    with the trailing axis already padded to ``length``.
+    Radix-2 DIT: one bit-reversal gather plus butterfly stages. Small
+    lengths unroll the stages (best XLA fusion); large lengths run the
+    stages in a ``lax.fori_loop`` with index-computed partners and
+    twiddles, keeping the traced graph O(1) per FFT length — essential
+    because the df64 tree instantiates many lengths per program.
+    ``z`` is ((re_hi, re_lo), (im_hi, im_lo)), trailing axis already
+    padded to ``length``.
     """
     assert length & (length - 1) == 0
     sign = 1 if inverse else -1
     n = length
     perm = jnp.asarray(_bit_reverse_indices(n))
     x = jax.tree.map(lambda t: t[..., perm], z)
-    m = 1
-    while m < n:
-        blocks = n // (2 * m)
 
-        def reshaped(t):
-            return t.reshape(t.shape[:-1] + (blocks, 2, m))
+    if n <= _FFT_LOOP_THRESHOLD:
+        m = 1
+        while m < n:
+            blocks = n // (2 * m)
 
-        xr = jax.tree.map(reshaped, x)
-        a = _cdf_index(xr, (Ellipsis, 0, slice(None)))
-        b = _cdf_index(xr, (Ellipsis, 1, slice(None)))
-        tw = _twiddles(2 * m, sign)  # w^j, j in [0, m)
-        t_ = cdf_mul(b, tw)
-        lo = cdf_add(a, t_)
-        hi = cdf_sub(a, t_)
-        x = jax.tree.map(
-            lambda l, h: jnp.stack([l, h], axis=-2).reshape(
-                l.shape[:-2] + (n,)),
-            lo, hi)
-        m *= 2
+            def reshaped(t):
+                return t.reshape(t.shape[:-1] + (blocks, 2, m))
+
+            xr = jax.tree.map(reshaped, x)
+            a = _cdf_index(xr, (Ellipsis, 0, slice(None)))
+            b = _cdf_index(xr, (Ellipsis, 1, slice(None)))
+            tw = _twiddles(2 * m, sign)  # w^j, j in [0, m)
+            t_ = cdf_mul(b, tw)
+            lo = cdf_add(a, t_)
+            hi = cdf_sub(a, t_)
+            x = jax.tree.map(
+                lambda l, h: jnp.stack([l, h], axis=-2).reshape(
+                    l.shape[:-2] + (n,)),
+                lo, hi)
+            m *= 2
+        out = x
+    else:
+        # full-length twiddle table w^k, k in [0, n/2); stage s uses
+        # entries (i mod m) * (n/(2m)) with m = 2^s
+        tw_full = _twiddles(n, sign)
+        stages = n.bit_length() - 1
+        idx = jnp.arange(n)
+
+        def stage(s, xs):
+            m = jnp.int32(1) << s
+            grp = idx & (m - 1)              # position within the half-block
+            is_hi = (idx & m) != 0
+            partner = jnp.where(is_hi, idx - m, idx + m)
+            tw_idx = grp * (n // 2) // m
+            twr = (tw_full[0][0][tw_idx], tw_full[0][1][tw_idx])
+            twi = (tw_full[1][0][tw_idx], tw_full[1][1][tw_idx])
+            a = jax.tree.map(lambda t: jnp.where(
+                is_hi, t[..., partner], t), xs)          # lower element
+            b = jax.tree.map(lambda t: jnp.where(
+                is_hi, t, t[..., partner]), xs)          # upper element
+            t_ = cdf_mul(b, (twr, twi))
+            lo = cdf_add(a, t_)
+            hi = cdf_sub(a, t_)
+            return jax.tree.map(
+                lambda l, h: jnp.where(is_hi, h, l), lo, hi)
+
+        out = jax.lax.fori_loop(0, stages, stage, x)
     if inverse:
         inv_n = 1.0 / n
-        x = jax.tree.map(lambda t: t * inv_n, x)
-    return x
+        out = jax.tree.map(lambda t: t * inv_n, out)
+    return out
 
 
 def _pad_last(z, length):
