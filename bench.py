@@ -68,8 +68,24 @@ def _run_once(args):
     spectra_per_sec = batch / tbatch
     base_small = C_BASELINE_SECONDS[db]
 
+    extra = {}
+    if args.df64:
+        from fnft_tpu.ops.df64_pipeline import nsev_contspec_df64
+
+        dd = 1 << 12
+        td = np.linspace(*t_span, dd)
+        qd = (1j * 3.2 / np.cosh(td)).astype(np.complex128)
+        nsev_contspec_df64(qd, d=dd, m=dd, t_span=t_span,
+                           xi_span=xi_span)  # compile
+        t0 = time.perf_counter()
+        out_d = nsev_contspec_df64(qd, d=dd, m=dd, t_span=t_span,
+                                   xi_span=xi_span)
+        jax.block_until_ready(out_d)
+        extra["df64_D4096_seconds"] = round(time.perf_counter() - t0, 6)
+
     baseline = C_BASELINE_SECONDS.get(1 << args.log2d)
     return {
+        **extra,
         "metric": f"nsev_contspec_sech_D{1 << args.log2d}_2split4b_c64_seconds",
         "value": round(best, 6),
         "unit": "s",
@@ -88,6 +104,9 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--retries", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--df64", action="store_true",
+                    help="also time the reference-accuracy float32-pair "
+                         "pipeline at D=2^12")
     args = ap.parse_args()
 
     import jax
