@@ -46,12 +46,9 @@ _SERIES_TERMS = 12
 
 def _cdf_scale_f64(x, s: float):
     """Multiply a cdf value by a host float (split into df64)."""
-    sc = (jnp.float32(np.float32(s)), jnp.float32(np.float64(s) - np.float32(s)))
-    sc = jax.tree.map(lambda t: jnp.asarray(t), sc)
-    return (  # (re*s, im*s) with df multiplication by the split scalar
-        _df_mul_scalar(x[0], sc),
-        _df_mul_scalar(x[1], sc),
-    )
+    sc = (jnp.float32(np.float32(s)),
+          jnp.float32(np.float64(s) - np.float64(np.float32(s))))
+    return (_df_mul_scalar(x[0], sc), _df_mul_scalar(x[1], sc))
 
 
 def _df_mul_scalar(x, s):
