@@ -107,7 +107,15 @@ def main() -> int:
     ap.add_argument("--df64", action="store_true",
                     help="also time the reference-accuracy float32-pair "
                          "pipeline at D=2^12")
+    ap.add_argument("--fused-levels", type=int, default=0,
+                    help="enable the Pallas fused early tree levels "
+                         "(TPU tuning knob)")
     args = ap.parse_args()
+
+    if args.fused_levels:
+        import fnft_tpu.ops.poly as _poly
+
+        _poly.set_fused_early_levels(args.fused_levels)
 
     import jax
 
