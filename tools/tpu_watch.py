@@ -1,0 +1,161 @@
+"""Opportunistic TPU benchmark watcher.
+
+The axon TPU tunnel in this container is intermittently healthy (see
+ROUND1_NOTES.md): executions may return UNIMPLEMENTED, and a failed
+program can poison the whole interpreter session. This watcher loops
+forever: it probes the tunnel with a tiny op in a fresh subprocess, and
+when the probe passes it runs the benchmark stages, each in its own
+subprocess. Every successful measurement is appended as a JSON line to
+TPU_MEASUREMENTS.jsonl, so a later tunnel outage cannot lose data.
+
+Timings are only recorded if a scalar checksum of the result can be
+fetched afterwards (block_until_ready alone can "succeed" on a poisoned
+execution).
+
+Usage:  python tools/tpu_watch.py [--once]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+OUT = REPO / "TPU_MEASUREMENTS.jsonl"
+LOG = REPO / "tpu_watch.log"
+
+PROBE = """
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.fft.fft(jnp.arange(256, dtype=jnp.complex64))
+a = np.asarray(jax.block_until_ready(x))
+assert abs(a[0] - 32640) < 1, a[0]
+print('PROBE_OK')
+"""
+
+STAGE = """
+import json, time
+import jax, jax.numpy as jnp, numpy as np
+from __graft_entry__ import _rho_pipeline
+
+cfg = json.loads('''{cfg}''')
+d, m, batch, reps = cfg['d'], cfg['m'], cfg['batch'], cfg['reps']
+t = np.linspace(-25.0, 25.0, d)
+if batch == 1:
+    q = (1j * 3.2 / np.cosh(t)).astype(np.complex64)[None, :]
+else:
+    q = np.stack([(1j * (1.0 + k / batch) / np.cosh(t)).astype(np.complex64)
+                  for k in range(batch)])
+rho = jax.jit(_rho_pipeline(d, m, (-25.0, 25.0), (-2.0, 2.0)))
+qd = jax.device_put(jnp.asarray(q))
+t0 = time.perf_counter()
+out = rho(qd)
+out.block_until_ready()
+compile_s = time.perf_counter() - t0
+best = float('inf')
+for _ in range(reps):
+    t0 = time.perf_counter()
+    out = rho(qd)
+    out.block_until_ready()
+    best = min(best, time.perf_counter() - t0)
+# validate: fetch scalar checksum + the rho(0) sample
+mid = float(np.abs(np.asarray(jax.block_until_ready(jnp.abs(out[0, m // 2])))))
+l2 = float(np.asarray(jax.block_until_ready(jnp.sum(jnp.abs(out) ** 2))))
+rec = dict(cfg)
+rec.update(best_seconds=best, compile_seconds=compile_s,
+           rho0_abs=mid, l2=l2, platform=jax.devices()[0].platform,
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+if batch == 1 and abs(cfg.get('expect_rho0', -1) - mid) > 5e-3 and cfg.get('expect_rho0'):
+    rec['accuracy_check_passed'] = False
+else:
+    rec['accuracy_check_passed'] = True
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
+# expect_rho0: |rho(0)| of the Satsuma-Yajima A=3.2 sech
+STAGES = [
+    dict(name="single_D4096", d=1 << 12, m=1 << 12, batch=1, reps=5,
+         expect_rho0=0.7265425),
+    dict(name="single_D65536", d=1 << 16, m=1 << 16, batch=1, reps=5,
+         expect_rho0=0.7265425),
+    dict(name="single_D262144", d=1 << 18, m=1 << 18, batch=1, reps=3,
+         expect_rho0=0.7265425),
+    dict(name="single_D1048576", d=1 << 20, m=1 << 20, batch=1, reps=3,
+         expect_rho0=0.7265425),
+    dict(name="batched64_D4096", d=1 << 12, m=1 << 12, batch=64, reps=3),
+    dict(name="batched256_D4096", d=1 << 12, m=1 << 12, batch=256, reps=3),
+]
+
+
+def log(msg: str) -> None:
+    line = f"{time.strftime('%H:%M:%S')} {msg}"
+    print(line, flush=True)
+    with LOG.open("a") as f:
+        f.write(line + "\n")
+
+
+def run_py(code: str, timeout: int) -> tuple[bool, str]:
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout, cwd=str(REPO))
+        return r.returncode == 0, r.stdout + r.stderr
+    except subprocess.TimeoutExpired:
+        return False, "TIMEOUT"
+
+
+def done_stages() -> set[str]:
+    names = set()
+    if OUT.exists():
+        for ln in OUT.read_text().splitlines():
+            try:
+                names.add(json.loads(ln)["name"])
+            except Exception:
+                pass
+    return names
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--once", action="store_true")
+    ap.add_argument("--interval", type=float, default=300.0)
+    ap.add_argument("--redo", action="store_true",
+                    help="re-run stages already recorded")
+    args = ap.parse_args()
+
+    while True:
+        ok, out = run_py(PROBE, 150)
+        if not ok or "PROBE_OK" not in out:
+            log(f"probe FAIL: {out.strip().splitlines()[-1][:100] if out.strip() else 'empty'}")
+        else:
+            log("probe OK — running stages")
+            skip = set() if args.redo else done_stages()
+            for st in STAGES:
+                if st["name"] in skip:
+                    continue
+                cfg = json.dumps(st)
+                tmo = 360 if st["d"] < (1 << 18) else 900
+                ok, out = run_py(STAGE.replace("{cfg}", cfg), tmo)
+                line = next((ln for ln in out.splitlines()
+                             if ln.startswith("STAGE_JSON ")), None)
+                if ok and line:
+                    rec = json.loads(line[len("STAGE_JSON "):])
+                    with OUT.open("a") as f:
+                        f.write(json.dumps(rec) + "\n")
+                    log(f"stage {st['name']} OK: best={rec['best_seconds']:.4f}s "
+                        f"rho0={rec['rho0_abs']:.5f}")
+                else:
+                    tail = out.strip().splitlines()[-1][:120] if out.strip() else "?"
+                    log(f"stage {st['name']} FAIL: {tail}")
+                    break  # tunnel likely degraded; next probe cycle
+            else:
+                if not args.redo and done_stages() >= {s["name"] for s in STAGES}:
+                    log("all stages recorded — watcher idling (probe only)")
+        if args.once:
+            return 0
+        time.sleep(args.interval)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
