@@ -44,7 +44,7 @@ from fnft_tpu.models.discretization import (
 )
 from fnft_tpu.ops.fscatter import fscatter
 from fnft_tpu.ops.gridsearch import roots_fftgridsearch
-from fnft_tpu.ops.roots import poly_roots
+from fnft_tpu.ops.roots import poly_roots_batched
 from fnft_tpu.ops.scatter import scatter_matrix
 from fnft_tpu.utils import misc
 
@@ -161,6 +161,8 @@ def _refine_mainspec(q_eff, r_eff, lam0, eps_t, rhs, tol, max_evals,
         return lam
     k = lam.shape[0]
     lam = jnp.asarray(lam)
+    rhs = jnp.asarray(rhs)          # scalar, or one value per point
+    rhs2 = jnp.concatenate([rhs, rhs]) if rhs.ndim == 1 else rhs
     f, fp = _eval_floquet(q_eff, r_eff, lam, eps_t, base_disc)
     f = f + rhs
     frozen = jnp.zeros(k, dtype=bool)
@@ -170,7 +172,7 @@ def _refine_mainspec(q_eff, r_eff, lam0, eps_t, rhs, tol, max_evals,
         incr = f / fp_safe
         cand = jnp.concatenate([lam - incr, lam - 2 * incr])
         fc, fpc = _eval_floquet(q_eff, r_eff, cand, eps_t, base_disc)
-        fc = fc + rhs
+        fc = fc + rhs2
         f1, f2 = fc[:k], fc[k:]
         pick2 = jnp.abs(f2) < jnp.abs(f1)
         lam_new = jnp.where(pick2, lam - 2 * incr, lam - incr)
@@ -239,7 +241,13 @@ def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
             lam = lam[np.abs(np.imag(lam)) > tol_im]
         return lam
 
+    # All root solves (every spine value + the aux polynomial) share one
+    # batched Aberth dispatch: the reference calls eiscor once per spine
+    # (fnft_nsep.c:556-608); a per-call host round-trip would stall a TPU
+    # pipeline, so the per-spine polynomials are stacked instead.
     main = aux = None
+    rhs_vals = np.zeros(0)
+    polys = []
     if want_main:
         p = _monodromy_poly(tm[0, 0], w)
         center = p[deg // 2]
@@ -247,20 +255,35 @@ def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
         rhs0, rhs1 = opts.floquet_range
         nvals = opts.points_per_spine
         step = (rhs1 - rhs0) / (nvals - 1) if nvals > 1 else 0.0
-        pieces = []
-        for nval in range(nvals):
-            rhs = 2.0 * (rhs0 + nval * step)
-            p_n = p.at[deg // 2].set(center - rhs * scale)
-            roots_z = poly_roots(p_n)
-            lam = np.asarray(z_to_lambda(roots_z, eps_t_sub, disc))
-            lam = post_filter(lam)
-            lam = _refine_mainspec(q_eff, r_eff, lam, eps_t, -rhs,
-                                   refine_tol, opts.max_evals, base)
-            pieces.append(post_filter(lam))
-        main = np.concatenate(pieces) if pieces else np.zeros(0, complex)
+        rhs_vals = 2.0 * (rhs0 + step * np.arange(nvals))
+        p_all = jnp.tile(p[None, :], (nvals, 1))
+        p_all = p_all.at[:, deg // 2].set(
+            center - jnp.asarray(rhs_vals).astype(p.dtype) * scale)
+        polys.append(p_all)
     if want_aux:
-        roots_z = poly_roots(tm[0, 1])
-        lam = np.asarray(z_to_lambda(roots_z, eps_t_sub, disc))
+        polys.append(tm[0, 1][None, :])
+    roots_all = poly_roots_batched(jnp.concatenate(polys, axis=0))
+    lam_all = np.asarray(
+        z_to_lambda(roots_all.reshape(-1), eps_t_sub, disc)
+    ).reshape(roots_all.shape)
+
+    if want_main:
+        nvals = len(rhs_vals)
+        # pre-filter each spine's roots, then refine every survivor in a
+        # single vectorized Newton call with a per-point rhs
+        lam_parts, rhs_parts = [], []
+        for nval in range(nvals):
+            lam = post_filter(lam_all[nval])
+            lam_parts.append(lam)
+            rhs_parts.append(np.full(lam.shape, -rhs_vals[nval]))
+        lam_cat = np.concatenate(lam_parts) if lam_parts else np.zeros(0, complex)
+        rhs_cat = np.concatenate(rhs_parts) if rhs_parts else np.zeros(0)
+        lam_ref = _refine_mainspec(q_eff, r_eff, lam_cat, eps_t,
+                                   jnp.asarray(rhs_cat), refine_tol,
+                                   opts.max_evals, base)
+        main = post_filter(lam_ref)
+    if want_aux:
+        lam = lam_all[-1]
         if opts.filtering is not PointFilter.NONE:
             lam = _filter_np(lam, box)
         lam = _refine_auxspec(q_eff, r_eff, lam, eps_t, refine_tol,

@@ -192,12 +192,12 @@ def _compute_boundstates(q_eff, r_eff, q_orig, tm11, w, eps_t, t0, t1,
         raise ValueError(bsloc)
 
     if opts.bound_state_filtering is not BoundStateFilter.NONE:
-        # filter on device (O(K)), compact on host, then dedupe the small
-        # surviving set (a K x K merge over all ~deg roots would need
-        # multi-GB distance matrices at D=2^20)
+        # filter + dedupe on device (merge_mask chunks its distance matrix
+        # above 2048 points), then a single host compaction at the boundary
         mask = misc.filter_mask(lam, box)
+        mask = misc.merge_mask(lam, misc.merge_tol_default(np.complex128),
+                               mask)
         lam = misc.compact_masked(lam, mask)
-        lam = misc.merge_points_host(lam, misc.merge_tol_default(np.complex128))
     else:
         lam = np.asarray(lam)
     return lam

@@ -271,19 +271,50 @@ def aberth_roots(coeffs, z0, num_iters: int = 80):
     return z
 
 
-def poly_roots(coeffs, num_iters: int = 80):
-    """All roots of a polynomial (host-orchestrated Aberth).
+def poly_roots(coeffs, num_iters: int = 80, init: str = "auto"):
+    """All roots of a polynomial via Ehrlich-Aberth sweeps on device.
 
-    Drop-in for the reference's poly_roots_fasteigen (eiscor). The Newton
-    polygon initialization needs concrete coefficient magnitudes, so this
-    function synchronizes once with the host (using the native C++ hull
-    when built); the sweeps run on device.
+    Drop-in for the reference's poly_roots_fasteigen (eiscor). Initial
+    guesses come from the Newton polygon; ``init`` selects where the
+    polygon is built:
+
+    * ``"device"`` — the traced hull (:func:`newton_polygon_init_jax`)
+      fuses into the same XLA program as the sweeps, so accelerator
+      pipelines run without a host round-trip per polynomial.
+    * ``"host"`` — concrete coefficient magnitudes on the host (native
+      C++ hull when built). A CPU fast path: the hull is O(deg) scalar
+      work that a host core does quicker than a lax.scan.
+    * ``"auto"`` (default) — ``"host"`` when the default backend is CPU,
+      ``"device"`` otherwise.
     """
     coeffs = jnp.asarray(coeffs)
-    abs_c = np.abs(np.asarray(jax.device_get(coeffs), dtype=np.complex128))
-    try:
-        from fnft_tpu.native import newton_polygon_init as _init
-        z0 = _init(abs_c)
-    except Exception:
-        z0 = _newton_polygon_init(abs_c)
-    return aberth_roots(coeffs, jnp.asarray(z0), num_iters=num_iters)
+    if init == "auto":
+        init = "host" if jax.default_backend() == "cpu" else "device"
+    if init == "device":
+        z0 = newton_polygon_init_jax(coeffs)
+    else:
+        abs_c = np.abs(np.asarray(jax.device_get(coeffs), dtype=np.complex128))
+        try:
+            from fnft_tpu.native import newton_polygon_init as _init
+            z0 = jnp.asarray(_init(abs_c))
+        except Exception:
+            z0 = jnp.asarray(_newton_polygon_init(abs_c))
+    return aberth_roots(coeffs, z0, num_iters=num_iters)
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def poly_roots_batched(coeffs, num_iters: int = 80):
+    """Roots of a batch of same-degree polynomials ``[B, deg+1] -> [B, deg]``.
+
+    One XLA program: vmapped traced Newton-polygon init + Aberth sweeps.
+    Replaces per-polynomial :func:`poly_roots` loops (e.g. the reference's
+    per-spine eiscor calls in fnft_nsep.c:556-608) with a single device
+    dispatch.
+    """
+    coeffs = jnp.asarray(coeffs)
+
+    def one(c):
+        return aberth_roots(c, newton_polygon_init_jax(c),
+                            num_iters=num_iters)
+
+    return jax.vmap(one)(coeffs)

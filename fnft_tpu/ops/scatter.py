@@ -283,6 +283,121 @@ def scatter_matrix(q, r, lam, eps_t: float, disc: Discretization,
     return t
 
 
+def _mat_scan(m):
+    """Inclusive prefix products (later factors left) without derivatives."""
+    return jax.lax.associative_scan(lambda a, b: b @ a, m, axis=0)
+
+
+def _pick_chunk_len(s: int, store_every: int) -> int:
+    """Largest chunk length L = store_every * 2^k <= ~4096 dividing ``s``."""
+    base = s // store_every
+    g = 1
+    while g * 2 <= max(1, 4096 // store_every) and base % (g * 2) == 0:
+        g *= 2
+    return g * store_every
+
+
+# above this many steps the one-shot associative_scan trajectory
+# [S, K, 2, 2] is traded for the two-pass chunked sweeps below
+_CHUNK_THRESHOLD = 1 << 15
+
+
+def _bound_states_chunked(xs, step_fn, lam, phi0, dphi0, psi_end, te, scl,
+                          store_every: int, chunk_len: int, skip_b: bool):
+    """Two-pass phi/psi sweeps with O(S/L + L) live memory.
+
+    The reference stores phi at all D+1 grid points in host RAM
+    (fnft__nse_scatter_bound_states.c:29-668); at D=2^20 a TPU cannot hold
+    the [S, K, 2, 2] prefix trajectory, so pass 1 reduces each length-L
+    chunk to a single transfer matrix (tree product) and prefix-scans the
+    C = S/L chunk products, and pass 2 re-derives the per-sample phi/psi
+    values chunk by chunk, streaming the b error-metric argmin instead of
+    materializing the trajectories.
+    """
+    s = jax.tree.leaves(xs)[0].shape[0]
+    c_num = s // chunk_len
+    xs_c = jax.tree.map(
+        lambda a_: a_.reshape((c_num, chunk_len) + a_.shape[1:]), xs)
+
+    # ---- pass 1 forward: chunk products with derivative -----------------
+    def fwd_chunk(xc):
+        u, du = _all_step_matrices(xc, step_fn, lam, derivative=True)
+        return _tree_product(u, du)
+
+    ms, dms = jax.lax.map(fwd_chunk, xs_c)                 # [C, K, 2, 2]
+    pm, pd = jax.lax.associative_scan(_pair_combine, (ms, dms), axis=0)
+    phi_end = jnp.einsum("kij,kj->ki", pm[-1], phi0)
+    dphi_end = jnp.einsum("kij,kj->ki", pd[-1], phi0) + \
+        jnp.einsum("kij,kj->ki", pm[-1], dphi0)
+    a = phi_end[:, 0] * jnp.exp(1j * lam * te)
+    aprime = scl * (dphi_end[:, 0] * jnp.exp(1j * lam * te) + (1j * te) * a)
+    if skip_b:
+        return a, aprime, jnp.zeros_like(a)
+
+    # phi at each chunk's left edge (grid position c*L)
+    phi_b = jnp.concatenate(
+        [phi0[None], jnp.einsum("ckij,kj->cki", pm[:-1], phi0)], axis=0)
+
+    # ---- pass 1 backward: psi chunk products ----------------------------
+    xs_rev_c = jax.tree.map(
+        lambda a_: a_[::-1].reshape((c_num, chunk_len) + a_.shape[1:]), xs)
+
+    def bwd_chunk(xc):
+        def one(x):
+            ub, _ = step_fn(lam, x[0], x[1], x[2], derivative=False,
+                            backward=True)
+            return ub
+
+        m, _ = _tree_product(jax.vmap(one)(xc), None)
+        return m
+
+    wb = jax.lax.map(bwd_chunk, xs_rev_c)                  # [C, K, 2, 2]
+    qm = _mat_scan(wb)
+    # psi at position S - c*L, i.e. each forward chunk's RIGHT edge
+    psi_right = jnp.concatenate(
+        [psi_end[None], jnp.einsum("ckij,kj->cki", qm[:-1], psi_end)],
+        axis=0)[::-1]                                      # [C, K, 2]
+    psi0 = jnp.einsum("kij,kj->ki", qm[-1], psi_end)       # position 0
+
+    # ---- pass 2: stream the per-sample error metric ---------------------
+    def metric_of(phi_s, psi_s):
+        ratio = (phi_s[..., 1] / psi_s[..., 1]) / \
+                (phi_s[..., 0] / psi_s[..., 0])
+        metric = jnp.abs(0.5 * jnp.log(jnp.abs(ratio)))
+        return jnp.where(jnp.isnan(metric), jnp.inf, metric), \
+            phi_s[..., 0] / psi_s[..., 0]
+
+    def body(carry, inp):
+        best_m, best_b = carry
+        xc, phi_bc, psi_rc = inp
+        u, _ = _all_step_matrices(xc, step_fn, lam, derivative=False)
+        lp = _mat_scan(u)
+        phi_vals = jnp.einsum("lkij,kj->lki", lp, phi_bc)  # pos cL+1..(c+1)L
+        xc_rev = jax.tree.map(lambda a_: a_[::-1], xc)
+
+        def oneb(x):
+            ub, _ = step_fn(lam, x[0], x[1], x[2], derivative=False,
+                            backward=True)
+            return ub
+
+        rb = _mat_scan(jax.vmap(oneb)(xc_rev))
+        psi_rev = jnp.einsum("lkij,kj->lki", rb, psi_rc)   # pos (c+1)L-1..cL
+        psi_vals = jnp.concatenate([psi_rev[::-1][1:], psi_rc[None]], axis=0)
+        phi_s = phi_vals[store_every - 1::store_every]
+        psi_s = psi_vals[store_every - 1::store_every]
+        metric, bc = metric_of(phi_s, psi_s)
+        j = jnp.argmin(metric, axis=0)
+        m_loc = jnp.take_along_axis(metric, j[None, :], axis=0)[0]
+        b_loc = jnp.take_along_axis(bc, j[None, :], axis=0)[0]
+        better = m_loc < best_m
+        return (jnp.where(better, m_loc, best_m),
+                jnp.where(better, b_loc, best_b)), None
+
+    m0, b0 = metric_of(phi0, psi0)
+    (_, best_b), _ = jax.lax.scan(body, (m0, b0), (xs_c, phi_b, psi_right))
+    return a, aprime, best_b
+
+
 @partial(jax.jit, static_argnames=("eps_t", "t0", "t1", "disc", "skip_b"))
 def scatter_bound_states(q, r, lam, eps_t: float, t0: float, t1: float,
                          disc: Discretization, *, skip_b: bool = False):
@@ -314,6 +429,14 @@ def scatter_bound_states(q, r, lam, eps_t: float, t0: float, t1: float,
     # prefix products P_n = U_n ... U_1 via associative scan: log-depth on TPU
     phi0 = jnp.stack([jnp.exp(-1j * lam * tb), jnp.zeros_like(lam)], axis=-1)
     dphi0 = jnp.stack([phi0[:, 0] * (-1j * tb), jnp.zeros_like(lam)], axis=-1)
+
+    s_len = jax.tree.leaves(xs)[0].shape[0]
+    chunk_len = _pick_chunk_len(s_len, store_every)
+    if s_len >= _CHUNK_THRESHOLD and chunk_len >= 256 * store_every:
+        psi_end0 = jnp.stack([jnp.zeros_like(lam),
+                              jnp.exp(1j * lam * te)], axis=-1)
+        return _bound_states_chunked(xs, step_fn, lam, phi0, dphi0, psi_end0,
+                                     te, scl, store_every, chunk_len, skip_b)
 
     if _use_log_depth():
         u, du = _all_step_matrices(xs, step_fn, lam, derivative=True)

@@ -118,14 +118,38 @@ def merge_mask(vals, tol: float, mask=None) -> jnp.ndarray:
 
     Parallel O(K^2) formulation: point i survives if no valid earlier point j
     lies within tol. ``mask`` marks which entries are valid to begin with.
+    Above 2048 points the distance matrix is built in column chunks (a
+    fori_loop) so the transient buffer stays bounded — the D=2^20
+    subsample-and-refine path feeds ~4e4 candidate roots through here.
     """
+    import jax
+
     vals = jnp.asarray(vals)
     k = vals.shape[-1]
     if mask is None:
         mask = jnp.ones((k,), dtype=bool)
-    d = jnp.abs(vals[:, None] - vals[None, :])
-    earlier = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1)
-    close_to_earlier = jnp.any(earlier & (d < tol) & mask[None, :], axis=1)
+    if k <= 2048:
+        d = jnp.abs(vals[:, None] - vals[None, :])
+        earlier = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1)
+        close_to_earlier = jnp.any(earlier & (d < tol) & mask[None, :], axis=1)
+        return mask & ~close_to_earlier
+
+    chunk = 1024
+    nch = -(-k // chunk)
+    vp = jnp.pad(vals, (0, nch * chunk - k))
+    mp = jnp.pad(mask, (0, nch * chunk - k))
+    idx = jnp.arange(k)
+
+    def body(c, acc):
+        vc = jax.lax.dynamic_slice_in_dim(vp, c * chunk, chunk)
+        mc = jax.lax.dynamic_slice_in_dim(mp, c * chunk, chunk)
+        jc = c * chunk + jnp.arange(chunk)
+        close = ((jnp.abs(vals[:, None] - vc[None, :]) < tol)
+                 & mc[None, :] & (jc[None, :] < idx[:, None]))
+        return acc | jnp.any(close, axis=1)
+
+    close_to_earlier = jax.lax.fori_loop(0, nch, body,
+                                         jnp.zeros((k,), dtype=bool))
     return mask & ~close_to_earlier
 
 
