@@ -69,19 +69,61 @@ def _run_once(args):
     base_small = C_BASELINE_SECONDS[db]
 
     extra = {}
-    if args.df64:
-        from fnft_tpu.ops.df64_pipeline import nsev_contspec_df64
+    if not args.no_df64:
+        # reference-accuracy float32-pair pipeline at the NFDM symbol size
+        try:
+            from fnft_tpu.ops.df64_pipeline import nsev_contspec_df64
 
-        dd = 1 << 12
-        td = np.linspace(*t_span, dd)
-        qd = (1j * 3.2 / np.cosh(td)).astype(np.complex128)
-        nsev_contspec_df64(qd, d=dd, m=dd, t_span=t_span,
-                           xi_span=xi_span)  # compile
-        t0 = time.perf_counter()
-        out_d = nsev_contspec_df64(qd, d=dd, m=dd, t_span=t_span,
-                                   xi_span=xi_span)
-        jax.block_until_ready(out_d)
-        extra["df64_D4096_seconds"] = round(time.perf_counter() - t0, 6)
+            dd = 1 << 12
+            td = np.linspace(*t_span, dd)
+            qd = (1j * 3.2 / np.cosh(td)).astype(np.complex128)
+            nsev_contspec_df64(qd, d=dd, m=dd, t_span=t_span,
+                               xi_span=xi_span)  # compile
+            t0 = time.perf_counter()
+            out_d = nsev_contspec_df64(qd, d=dd, m=dd, t_span=t_span,
+                                       xi_span=xi_span)
+            jax.block_until_ready(out_d)
+            extra["df64_D4096_seconds"] = round(time.perf_counter() - t0, 6)
+        except Exception as e:
+            extra["df64_D4096_error"] = str(e)[:120]
+
+    if not args.no_harness:
+        # the reference's six-error harness at D=4096 (2SPLIT4B bounds from
+        # test/fnft_nsev/fnft_nsev_test_sech_focusing_2split4B.c:31-43)
+        try:
+            import fnft_tpu as ft
+            from fnft_tpu.testcases import (NsevTestcase, nsev_errors,
+                                            nsev_testcase)
+
+            on_cpu = jax.default_backend() == "cpu"
+            if on_cpu:
+                ft.use_x64()
+                # the reference's double-precision bounds
+                bounds = {"contspec": 3.9e-6, "a": 6.3e-6, "b": 2.0e-6,
+                          "bound_states": 1.6e-5, "normconsts": 5e-14,
+                          "residues": 2.1e-6}
+            else:
+                # TPU has no hardware f64: complex64 production budget
+                bounds = {"contspec": 5e-4, "a": 1e-3, "b": 5e-4,
+                          "bound_states": 1e-3, "normconsts": 1e-4,
+                          "residues": 1e-3}
+            data = nsev_testcase(NsevTestcase.SECH_FOCUSING, 4096)
+            qh = data.q if on_cpu else data.q.astype(np.complex64)
+            opts = ft.NsevOpts(contspec_type=ft.ContspecType.BOTH,
+                               discspec_type=ft.DiscspecType.BOTH)
+            res = ft.nsev(jnp.asarray(qh), data.t_span, m=data.m,
+                          xi_span=data.xi_span, kappa=+1, opts=opts)
+            errs = nsev_errors(res, data)
+            extra["harness_errors_D4096"] = {
+                k: (None if v is None else float(f"{v:.3e}"))
+                for k, v in errs.items()}
+            extra["harness_bounds_profile"] = "c128_reference" if on_cpu \
+                else "c64_tpu_budget"
+            extra["harness_within_bounds"] = bool(all(
+                errs[k] is not None and errs[k] <= b
+                for k, b in bounds.items()))
+        except Exception as e:
+            extra["harness_error"] = str(e)[:120]
 
     baseline = C_BASELINE_SECONDS.get(1 << args.log2d)
     return {
@@ -104,9 +146,11 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--retries", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--df64", action="store_true",
-                    help="also time the reference-accuracy float32-pair "
+    ap.add_argument("--no-df64", action="store_true",
+                    help="skip timing the reference-accuracy float32-pair "
                          "pipeline at D=2^12")
+    ap.add_argument("--no-harness", action="store_true",
+                    help="skip the six-error accuracy harness at D=4096")
     ap.add_argument("--fused-levels", type=int, default=0,
                     help="enable the Pallas fused early tree levels "
                          "(TPU tuning knob)")

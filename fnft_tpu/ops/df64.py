@@ -71,7 +71,22 @@ def df_to_f64(x):
     return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
 
+def _df_align(x, y):
+    """Materialize shape/batching broadcasts before the EFT sequences.
+
+    XLA:CPU produces wrong low-order parts when the Dekker/Knuth chains
+    mix a vmap-batched operand with an unbatched (broadcast_in_dim) one —
+    jit(vmap(df_mul, in_axes=(0, None))) degrades to plain f32 while the
+    pre-broadcast form is exact (measured; see tests/test_df64.py).
+    Adding an exact zero of the joint shape forces both operands onto the
+    same (batched) layout without changing any value.
+    """
+    z = x[0] * 0 + y[0] * 0
+    return (x[0] + z, x[1] + z), (y[0] + z, y[1] + z)
+
+
 def df_add(x, y):
+    x, y = _df_align(x, y)
     xh, xl = x
     yh, yl = y
     s, e = _two_sum(xh, yh)
@@ -88,6 +103,7 @@ def df_sub(x, y):
 
 
 def df_mul(x, y):
+    x, y = _df_align(x, y)
     xh, xl = x
     yh, yl = y
     p, e = _two_prod(xh, yh)
@@ -100,6 +116,17 @@ def df_mul(x, y):
 # ---------------------------------------------------------------------------
 
 def cdf_from_c128(z):
+    if not isinstance(z, jax.Array):
+        # host split in numpy float64: correct even when jax x64 is off
+        # (the TPU production mode), where jnp.asarray would first truncate
+        # the complex128 input to complex64 and zero out every lo plane
+        zn = np.asarray(z, dtype=np.complex128)
+        re_hi = zn.real.astype(np.float32)
+        re_lo = (zn.real - re_hi.astype(np.float64)).astype(np.float32)
+        im_hi = zn.imag.astype(np.float32)
+        im_lo = (zn.imag - im_hi.astype(np.float64)).astype(np.float32)
+        return ((jnp.asarray(re_hi), jnp.asarray(re_lo)),
+                (jnp.asarray(im_hi), jnp.asarray(im_lo)))
     z = jnp.asarray(z)
     re = jnp.real(z)
     im = jnp.imag(z)
@@ -108,6 +135,12 @@ def cdf_from_c128(z):
 
 def cdf_to_c128(z):
     re, im = z
+    if isinstance(re[0], jax.Array) and not isinstance(re[0], jax.core.Tracer):
+        # join on the host: exact even when jax x64 is off (TPU mode)
+        def join(x):
+            return (np.asarray(x[0], dtype=np.float64)
+                    + np.asarray(x[1], dtype=np.float64))
+        return join(re) + 1j * join(im)
     return df_to_f64(re) + 1j * df_to_f64(im)
 
 
@@ -169,7 +202,10 @@ def _bit_reverse_indices(n: int) -> np.ndarray:
     return rev
 
 
-_FFT_LOOP_THRESHOLD = 64  # lengths above this use the fori_loop body
+_FFT_LOOP_THRESHOLD = 4  # lengths above this use the fori_loop body
+# (the unrolled form traces O(n log n) ops per distinct length; with ~10
+# distinct lengths per df64 tree the loop form cuts whole-pipeline XLA
+# compile from ~55 s to ~20 s at D=1024 and runs faster as well)
 
 
 @partial(jax.jit, static_argnames=("length", "inverse"))

@@ -51,6 +51,14 @@ def _cdf_scale_f64(x, s: float):
     return (_df_mul_scalar(x[0], sc), _df_mul_scalar(x[1], sc))
 
 
+def _const_cdf_like(shape, val: float):
+    v32 = np.float32(val)
+    return ((jnp.full(shape, v32, jnp.float32),
+             jnp.full(shape, np.float32(np.float64(val) - np.float64(v32)),
+                      jnp.float32)),
+            (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)))
+
+
 def _df_mul_scalar(x, s):
     from fnft_tpu.ops.df64 import df_mul
 
@@ -90,7 +98,14 @@ def _zero_freq_matrix_df64(q, r, h: float):
 
 
 def transfer_matrix_coeffs_df64(q, r, eps_t: float, disc: Discretization):
-    """df64 per-sample polynomial matrices; mirrors ops.fscatter."""
+    """df64 per-sample polynomial matrices; mirrors ops.fscatter.
+
+    The polynomial is carried as per-entry COEFFICIENT LISTS (None =
+    structural zero) and assembled into the dense [d, 2, 2, deg+1] array
+    with a single stack at the end: long dynamic-update-slice chains make
+    XLA:CPU's optimizer pathologically slow ("Very slow compile" alarms)
+    once this function is jitted.
+    """
     deg = degree(disc)
     if deg == 0 or disc is Discretization.SPLIT2_MODAL:
         raise ValueError(f"df64 pipeline supports splitting schemes, got {disc}")
@@ -100,162 +115,164 @@ def transfer_matrix_coeffs_df64(q, r, eps_t: float, disc: Discretization):
               for a in e_weights}
 
     d = q[0][0].shape[-1]
+    shape = q[0][0].shape
 
-    def zeros_poly(clen):
-        zz = jnp.zeros((d, 2, 2, clen), jnp.float32)
-        return ((zz, zz), (zz, zz))
-
-    def set_entry(poly, i, j, k, val):
-        # val: cdf scalar-per-sample [d]; place at [:, i, j, k]
-        def upd(t, v):
-            return t.at[:, i, j, k].set(v)
-        ((rh, rl), (ih, il)) = poly
-        ((vrh, vrl), (vih, vil)) = val
-        return ((upd(rh, vrh), upd(rl, vrl)), (upd(ih, vih), upd(il, vil)))
-
-    total = zeros_poly(deg + 1)
+    # total[i][j][k]: cdf scalar [d] or None
+    total = [[[None] * (deg + 1) for _ in range(2)] for _ in range(2)]
     for coeff, factors in spec:
-        p = None  # [d, 2, 2, c] cdf
+        p = None  # p[i][j] = coefficient list of cdf scalars / None
         for kind, a in factors:
             if kind == "E":
                 e00, e01, e10 = e_mats[a]
+                ent = {(0, 0): e00, (0, 1): e01, (1, 0): e10, (1, 1): e00}
                 if p is None:
-                    p = zeros_poly(1)
-                    p = set_entry(p, 0, 0, 0, e00)
-                    p = set_entry(p, 0, 1, 0, e01)
-                    p = set_entry(p, 1, 0, 0, e10)
-                    p = set_entry(p, 1, 1, 0, e00)
+                    p = [[[e00], [e01]], [[e10], [e00]]]
                 else:
-                    # p @ E, coefficientwise: out[i,j] = sum_k p[i,k] E[k,j]
-                    ent = {(0, 0): e00, (0, 1): e01, (1, 0): e10, (1, 1): e00}
-
-                    def col(pp, i, k):
-                        return jax.tree.map(lambda t: t[:, i, k, :], pp)
-
-                    cols = []
+                    clen = len(p[0][0])
+                    nxt = [[None, None], [None, None]]
                     for i in range(2):
-                        row = []
                         for j in range(2):
-                            acc = None
-                            for k in range(2):
-                                ev = jax.tree.map(
-                                    lambda t: t[:, None], ent[(k, j)])
-                                term = cdf_mul(col(p, i, k), ev)
-                                acc = term if acc is None else cdf_add(acc, term)
-                            row.append(acc)
-                        cols.append(row)
-                    p = _assemble(cols)
+                            lst = []
+                            for k in range(clen):
+                                acc = None
+                                for l in range(2):
+                                    if p[i][l][k] is None:
+                                        continue
+                                    term = cdf_mul(p[i][l][k], ent[(l, j)])
+                                    acc = term if acc is None \
+                                        else cdf_add(acc, term)
+                                lst.append(acc)
+                            nxt[i][j] = lst
+                    p = nxt
             else:
                 ai = int(round(a))
                 if p is None:
-                    p = zeros_poly(ai + 1)
-                    one = _const_cdf(d, 1.0)
-                    p = set_entry(p, 0, 0, 0, one)
-                    p = set_entry(p, 1, 1, ai, one)
+                    one = _const_cdf_like(shape, 1.0)
+                    # diag(1, z^a)
+                    p = [[[one] + [None] * ai, [None] * (ai + 1)],
+                         [[None] * (ai + 1), [None] * ai + [one]]]
                 else:
-                    # multiply column 2 by z^a: extend and shift
-                    p = _extend(p, ai)
-                    p = _shift_col2(p, ai)
-        p = _extend_to(p, deg + 1)
-        total = cdf_add(total, _cdf_poly_scale(p, float(coeff)))
-    return total
+                    # right-multiply by diag(1, z^a): column 1 shifts up by a
+                    for i in range(2):
+                        p[i][1] = [None] * ai + p[i][1]
+                        p[i][0] = p[i][0] + [None] * ai
+        for i in range(2):
+            for j in range(2):
+                lst = p[i][j] + [None] * ((deg + 1) - len(p[i][j]))
+                for k in range(deg + 1):
+                    v = lst[k]
+                    if v is None:
+                        continue
+                    v = _cdf_scale_f64(v, float(coeff))
+                    total[i][j][k] = v if total[i][j][k] is None \
+                        else cdf_add(total[i][j][k], v)
+
+    zero = jnp.zeros(shape, jnp.float32)
+
+    def plane(sel):
+        return jnp.stack([
+            jnp.stack([
+                jnp.stack([sel(total[i][j][k]) if total[i][j][k] is not None
+                           else zero for k in range(deg + 1)], axis=-1)
+                for j in range(2)], axis=-2)
+            for i in range(2)], axis=-3)
+
+    del d
+    return ((plane(lambda v: v[0][0]), plane(lambda v: v[0][1])),
+            (plane(lambda v: v[1][0]), plane(lambda v: v[1][1])))
 
 
-def _assemble(cols):
-    """cols[i][j]: cdf [d, c] -> cdf [d, 2, 2, c]."""
-    def stack(getter):
-        return jnp.stack([jnp.stack([getter(cols[i][j]) for j in range(2)],
-                                    axis=1) for i in range(2)], axis=1)
-    return ((stack(lambda v: v[0][0]), stack(lambda v: v[0][1])),
-            (stack(lambda v: v[1][0]), stack(lambda v: v[1][1])))
 
 
-def _const_cdf(d, val: float):
-    v32 = np.float32(val)
-    return ((jnp.full((d,), v32, jnp.float32),
-             jnp.full((d,), np.float32(val - np.float64(v32)), jnp.float32)),
-            (jnp.zeros((d,), jnp.float32), jnp.zeros((d,), jnp.float32)))
 
 
-def _extend(p, extra: int):
-    def f(t):
-        return jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, extra)])
-    return jax.tree.map(f, p)
-
-
-def _extend_to(p, clen: int):
-    cur = p[0][0].shape[-1]
-    if cur >= clen:
-        return jax.tree.map(lambda t: t[..., :clen], p)
-    return _extend(p, clen - cur)
-
-
-def _shift_col2(p, a: int):
-    def f(t):
-        col2 = t[:, :, 1, :]
-        shifted = jnp.concatenate(
-            [jnp.zeros(col2.shape[:-1] + (a,), col2.dtype),
-             col2[..., :-a]], axis=-1)
-        return jnp.stack([t[:, :, 0, :], shifted], axis=2)
-    return jax.tree.map(f, p)
-
-
-def _cdf_poly_scale(p, s: float):
-    s32 = np.float32(s)
-    pair = (jnp.float32(s32), jnp.float32(np.float64(s) - np.float64(s32)))
-
-    def scale_df(x):
-        from fnft_tpu.ops.df64 import df_mul
-        return df_mul(x, (jnp.broadcast_to(pair[0], x[0].shape),
-                          jnp.broadcast_to(pair[1], x[0].shape)))
-
-    return (scale_df(p[0]), scale_df(p[1]))
 
 
 # ---------------------------------------------------------------------------
 # df64 tree + chirp-Z + phases
 # ---------------------------------------------------------------------------
 
+# below this coefficient count the level is a direct (shift-and-add)
+# convolution instead of FFTs. Default 0 (off): the pad/add chains make
+# XLA:CPU's optimizer slower than the small FFTs it replaces; revisit as a
+# TPU tuning knob where tiny FFTs are launch-bound.
+_DIRECT_CONV_CUTOFF_DF64 = 0
+
+
+def _direct_level_df64(a, b, c: int):
+    """(b @ a)(z) per pair, cdf [n2, 2, 2, c] -> [n2, 2, 2, 2c-1]."""
+    rows = []
+    for i in range(2):
+        cols = []
+        for j in range(2):
+            acc = None
+            for k in range(2):
+                bv = _cdf_index(b, (Ellipsis, i, k, slice(None)))  # [n2, c]
+                av = _cdf_index(a, (Ellipsis, k, j, slice(None)))
+                for s in range(c):
+                    term = cdf_mul(
+                        _cdf_index(bv, (Ellipsis, slice(s, s + 1))), av)
+                    padded = jax.tree.map(
+                        lambda t, s=s: jnp.pad(
+                            t, [(0, 0)] * (t.ndim - 1) + [(s, c - 1 - s)]),
+                        term)
+                    acc = padded if acc is None else cdf_add(acc, padded)
+            cols.append(acc)
+        rows.append(jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *cols))
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=-3), *rows)
+
+
+def _fft_level_df64(a, b, c: int):
+    length = next_fft_length(2 * c - 1)
+    fa = fft_df64(jax.tree.map(
+        lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1)
+                          + [(0, length - t.shape[-1])]), a), length)
+    fb = fft_df64(jax.tree.map(
+        lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1)
+                          + [(0, length - t.shape[-1])]), b), length)
+
+    def entry(i, j):
+        t0 = cdf_mul(_cdf_index(fb, (Ellipsis, i, 0, slice(None))),
+                     _cdf_index(fa, (Ellipsis, 0, j, slice(None))))
+        t1 = cdf_mul(_cdf_index(fb, (Ellipsis, i, 1, slice(None))),
+                     _cdf_index(fa, (Ellipsis, 1, j, slice(None))))
+        return cdf_add(t0, t1)
+
+    rows = []
+    for i in range(2):
+        cols = [entry(i, j) for j in range(2)]
+        rows.append(jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *cols))
+    fc = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-3), *rows)
+    prod = fft_df64(fc, length, inverse=True)
+    return _cdf_index(prod, (Ellipsis, slice(0, 2 * c - 1)))
+
+
 def _tree_df64(p, n_true: int, deg_in: int):
-    """df64 fmult tree on cdf [n, 2, 2, c]; returns (cdf [2,2,out], w)."""
-    n = p[0][0].shape[0]
-    w = jnp.zeros((n,), jnp.int32)
+    """df64 fmult tree on cdf [..., n, 2, 2, c]; returns (cdf [...,2,2,out], w)."""
+    n = p[0][0].shape[-4]
+    lead = p[0][0].shape[:-4]
+    w = jnp.zeros(lead + (n,), jnp.int32)
     levels = int(math.log2(n)) if n > 1 else 0
     c = p[0][0].shape[-1]
     for _ in range(levels):
-        a = _cdf_index(p, (slice(0, None, 2),))
-        b = _cdf_index(p, (slice(1, None, 2),))
-        length = next_fft_length(2 * c - 1)
-        fa = fft_df64(jax.tree.map(
-            lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1)
-                              + [(0, length - t.shape[-1])]), a), length)
-        fb = fft_df64(jax.tree.map(
-            lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1)
-                              + [(0, length - t.shape[-1])]), b), length)
-
-        def entry(i, j):
-            t0 = cdf_mul(_cdf_index(fb, (Ellipsis, i, 0, slice(None))),
-                         _cdf_index(fa, (Ellipsis, 0, j, slice(None))))
-            t1 = cdf_mul(_cdf_index(fb, (Ellipsis, i, 1, slice(None))),
-                         _cdf_index(fa, (Ellipsis, 1, j, slice(None))))
-            return cdf_add(t0, t1)
-
-        rows = []
-        for i in range(2):
-            cols = [entry(i, j) for j in range(2)]
-            rows.append(jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *cols))
-        fc = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-3), *rows)
-        prod = fft_df64(fc, length, inverse=True)
-        prod = _cdf_index(prod, (Ellipsis, slice(0, 2 * c - 1)))
+        a = _cdf_index(p, (Ellipsis, slice(0, None, 2), slice(None),
+                           slice(None), slice(None)))
+        b = _cdf_index(p, (Ellipsis, slice(1, None, 2), slice(None),
+                           slice(None), slice(None)))
+        if c <= _DIRECT_CONV_CUTOFF_DF64:
+            prod = _direct_level_df64(a, b, c)
+        else:
+            prod = _fft_level_df64(a, b, c)
         hi_mag = jnp.maximum(jnp.abs(prod[0][0]), jnp.abs(prod[1][0]))
         max_abs = jnp.max(hi_mag, axis=(-3, -2, -1))
         safe = jnp.where(max_abs > 0, max_abs, 1.0)
         a_exp = jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0)
         scale = jnp.exp2(-a_exp)[..., None, None, None].astype(jnp.float32)
         p = jax.tree.map(lambda t: t * scale, prod)
-        w = w[0::2] + w[1::2] + a_exp.astype(jnp.int32)
+        w = w[..., 0::2] + w[..., 1::2] + a_exp.astype(jnp.int32)
         c = 2 * c - 1
-    return _cdf_index(p, (0,)), w[0]
+    return _cdf_index(p, (Ellipsis, 0, slice(None), slice(None),
+                          slice(None))), w[..., 0]
 
 
 def _chirpz_df64(coeffs, a_pt: complex, w_pt: complex, m: int):
@@ -265,22 +282,119 @@ def _chirpz_df64(coeffs, a_pt: complex, w_pt: complex, m: int):
     ks = np.arange(max(n, m), dtype=np.float64)
     w_half = _spiral_table(complex(w_pt), 0.5 * ks * ks)
     a_pow = _spiral_table(complex(a_pt), ks[:n])
-    x_weight = cdf_from_c128(jnp.asarray(a_pow * w_half[:n]))
+    x_weight = cdf_from_c128(a_pow * w_half[:n])
     x = cdf_mul(coeffs, x_weight)
 
     v = np.zeros(length, dtype=np.complex128)
     v[:m] = 1.0 / w_half[:m]
     neg = _spiral_table(complex(w_pt), 0.5 * ks[1:n] * ks[1:n])
     v[length - n + 1:] = (1.0 / neg)[::-1]
-    v_f = cdf_from_c128(jnp.asarray(np.fft.fft(v)))
+    v_f = cdf_from_c128(np.fft.fft(v))
 
     xf = fft_df64(jax.tree.map(
         lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1)
                           + [(0, length - t.shape[-1])]), x), length)
     conv = fft_df64(cdf_mul(xf, v_f), length, inverse=True)
     out = cdf_mul(_cdf_index(conv, (Ellipsis, slice(0, m))),
-                  cdf_from_c128(jnp.asarray(w_half[:m])))
+                  cdf_from_c128(w_half[:m]))
     return out
+
+
+# The pipeline is three stages rather than one monolithic program: a
+# single whole-pipeline jit triggers XLA:CPU's "Very slow compile" alarm
+# (minutes-long optimization passes). The deep df64 arithmetic chains of
+# the transfer-matrix stage trip the same alarm even alone, so that stage
+# is jitted only on accelerator backends (eager dispatch on CPU costs a
+# few seconds; per-op round-trips on a TPU would cost far more).
+
+def _tm_stage_df64(q_cdf, *, eps_t: float, kappa: int, disc: Discretization):
+    q = q_cdf
+    # r = -kappa conj(q): negate real planes, conj flips the imag sign
+    r = ((-kappa * q[0][0], -kappa * q[0][1]),
+         (kappa * q[1][0], kappa * q[1][1]))
+    return transfer_matrix_coeffs_df64(q, r, eps_t, disc)
+
+
+@partial(jax.jit, static_argnames=("n_true", "deg_in"))
+def _tree_stage_df64(p, *, n_true: int, deg_in: int):
+    return _tree_df64(p, n_true, deg_in)
+
+
+@partial(jax.jit, static_argnames=("a_pt", "w_pt", "m", "pf", "xi_span"))
+def _spec_stage_df64(tm, *, a_pt: complex, w_pt: complex, m: int, pf: float,
+                     xi_span):
+    h11 = _chirpz_df64(_cdf_index(tm, (Ellipsis, 0, 0, slice(None))),
+                       a_pt, w_pt, m)
+    h21 = _chirpz_df64(_cdf_index(tm, (Ellipsis, 1, 0, slice(None))),
+                       a_pt, w_pt, m)
+    xi = np.linspace(xi_span[0], xi_span[1], m)
+    phase = cdf_from_c128(np.exp(1j * xi * pf))
+    num = cdf_mul(h21, phase)
+    return num, h11
+
+
+def _contspec_df64_core(q_cdf, *, d: int, m: int, t_span, xi_span,
+                        kappa: int, disc: Discretization):
+    """Float32-only staged core: cdf q -> (num_cdf, h11_cdf), each [..., m].
+
+    No float64 ops on device, so the programs run unmodified on TPU; the
+    persistent compilation cache (:func:`enable_compilation_cache`) makes
+    recompiles one-time per machine.
+    """
+    from fnft_tpu.models import nse
+
+    t0, t1 = t_span
+    xi0, xi1 = xi_span
+    eps_t = (t1 - t0) / (d - 1)
+    deg1 = max(degree(disc), 1)
+    batched = q_cdf[0][0].ndim == 2
+
+    def staged(fn, x, **kw):
+        call = partial(fn, **kw)
+        return jax.vmap(call)(x) if batched else call(x)
+
+    tm_call = partial(_tm_stage_df64, eps_t=eps_t, kappa=kappa, disc=disc)
+    if jax.default_backend() == "cpu":
+        # eager per-signal dispatch (see note above _tm_stage_df64)
+        if batched:
+            rows = [tm_call(jax.tree.map(lambda t, i=i: t[i], q_cdf))
+                    for i in range(q_cdf[0][0].shape[0])]
+            p = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+        else:
+            p = tm_call(q_cdf)
+    else:
+        jit_tm = jax.jit(tm_call)
+        p = jax.vmap(jit_tm)(q_cdf) if batched else jit_tm(q_cdf)
+    tm, _ = staged(_tree_stage_df64, p, n_true=d, deg_in=degree(disc))
+    # rho is a ratio: the 2^w scale cancels
+
+    eps_xi = (xi1 - xi0) / (m - 1)
+    a_pt = complex(np.exp(2j * xi0 * eps_t / deg1))
+    w_pt = complex(np.exp(2j * eps_xi * eps_t / deg1))
+    pf = float(nse.phase_factor_rho(eps_t, t1, disc))
+    return staged(_spec_stage_df64, tm, a_pt=a_pt, w_pt=w_pt, m=m, pf=pf,
+                  xi_span=(xi0, xi1))
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist compiled df64 programs across processes (idempotent).
+
+    Enabled on accelerator backends only: XLA:CPU AOT reload warns about
+    machine-feature mismatches (potential SIGILL), and the CPU compile is
+    a test-only cost anyway.
+    """
+    import os
+
+    if jax.default_backend() == "cpu":
+        return
+    cache_dir = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "fnft_tpu", "xla_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without the persistent cache: best effort
 
 
 def nsev_contspec_df64(q128, *, d: int, m: int, t_span, xi_span,
@@ -289,36 +403,18 @@ def nsev_contspec_df64(q128, *, d: int, m: int, t_span, xi_span,
     """Reflection coefficient at reference accuracy in float32-pair ops.
 
     ``q128`` is complex128 (split at the boundary); every on-device
-    operation is float32. Returns rho [m] complex128.
-
-    Host-orchestrated (not one monolithic jit) so the per-length
-    :func:`fft_df64` programs are compiled once and shared across the
-    tree levels and the chirp transform.
+    operation is float32. Accepts a single signal [d] or a batch [b, d]
+    (vmapped into the same program). Returns rho [..., m] complex128.
     """
-    from fnft_tpu.models import nse
-
-    t0, t1 = t_span
-    xi0, xi1 = xi_span
-    eps_t = (t1 - t0) / (d - 1)
-    deg1 = max(degree(disc), 1)
-
-    q = cdf_from_c128(jnp.asarray(q128))
-    # r = -kappa conj(q): negate real planes, conj flips the imag sign
-    r = ((-kappa * q[0][0], -kappa * q[0][1]),
-         (kappa * q[1][0], kappa * q[1][1]))
-
-    p = transfer_matrix_coeffs_df64(q, r, eps_t, disc)
-    tm, w = _tree_df64(p, d, degree(disc))
-
-    eps_xi = (xi1 - xi0) / (m - 1)
-    a_pt = complex(np.exp(2j * xi0 * eps_t / deg1))
-    w_pt = complex(np.exp(2j * eps_xi * eps_t / deg1))
-    h11 = _chirpz_df64(_cdf_index(tm, (0, 0)), a_pt, w_pt, m)
-    h21 = _chirpz_df64(_cdf_index(tm, (1, 0)), a_pt, w_pt, m)
-
-    pf = nse.phase_factor_rho(eps_t, t1, disc)
-    xi = np.linspace(xi0, xi1, m)
-    phase = cdf_from_c128(jnp.asarray(np.exp(1j * xi * pf)))
-    num = cdf_mul(h21, phase)
-    # rho = num / h11 in complex128 at the boundary (single divide)
+    enable_compilation_cache()
+    q128 = jnp.asarray(q128)
+    t_span = (float(t_span[0]), float(t_span[1]))
+    xi_span = (float(xi_span[0]), float(xi_span[1]))
+    core = partial(_contspec_df64_core, d=d, m=m, t_span=t_span,
+                   xi_span=xi_span, kappa=kappa, disc=disc)
+    if q128.ndim == 2:
+        num, h11 = jax.vmap(core)(cdf_from_c128(q128))
+    else:
+        num, h11 = core(cdf_from_c128(q128))
+    # rho = num / h11: single complex128 divide at the host boundary
     return cdf_to_c128(num) / cdf_to_c128(h11)

@@ -2,7 +2,9 @@
 
 The fmult tree's first few levels multiply huge batches of tiny polynomial
 matrices. As XLA ops each level round-trips the whole array through HBM;
-this kernel fuses L levels into one pass with everything VMEM-resident.
+this kernel fuses L levels into one pass with everything VMEM-resident and
+performs the per-subtree power-of-two rescaling in-register (the reference
+rescales per level on the host side: fnft__poly_fmult.c:123-150).
 
 Layout: the 128 lanes each carry an independent subtree of 2^L one-step
 matrices; the tree reduction runs along the sublane/leading axes with
@@ -10,9 +12,9 @@ static index arithmetic, so every arithmetic op is a full-width vector op.
 Complex values travel as separate real/imag planes (Mosaic has no native
 complex vregs).
 
-Falls back to the XLA implementation when Pallas is unavailable or shapes
-don't fit (fnft_tpu.ops.poly uses the fallback by default; enable with
-``fnft_tpu.ops.poly.set_fused_early_levels(True)``).
+Selection: fnft_tpu.ops.poly auto-enables the kernel on the TPU backend
+when shapes fit; ``fnft_tpu.ops.poly.set_fused_early_levels`` overrides
+(interpret mode keeps CPU CI coverage).
 """
 
 from __future__ import annotations
@@ -26,12 +28,13 @@ import numpy as np
 LANES = 128
 
 
-def _fused_levels_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, levels: int,
-                         c_in: int):
-    """One program: [2^L, 4, c_in, LANES] -> [4, c_out, LANES].
+def _fused_levels_kernel(ar_ref, ai_ref, or_ref, oi_ref, oe_ref, *,
+                         levels: int, c_in: int, normalize: bool):
+    """One program: [2^L, 4, c_in, LANES] -> [4, c_out, LANES] + exp [LANES].
 
     Polynomial 2x2 matrix chain products, later @ earlier, ascending
-    coefficients; all loops static.
+    coefficients; all loops static. With ``normalize`` the output subtree is
+    rescaled so max|entry| is in [1, 2) and the per-lane exponent is stored.
     """
     n_mats = 1 << levels
     ar = ar_ref[0]
@@ -74,43 +77,68 @@ def _fused_levels_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, levels: int,
         c = 2 * c - 1
 
     out_re, out_im = mats[0]
+    if normalize:
+        mx = jnp.zeros_like(out_re[0][0])
+        for e in range(4):
+            for k in range(c):
+                mx = jnp.maximum(mx, jnp.maximum(jnp.abs(out_re[e][k]),
+                                                 jnp.abs(out_im[e][k])))
+        safe = jnp.where(mx > 0, mx, jnp.ones_like(mx))
+        aexp = jnp.where(mx > 0, jnp.floor(jnp.log2(safe)),
+                         jnp.zeros_like(mx))
+        scale = jnp.exp2(-aexp)
+        oe_ref[0, :] = aexp.astype(jnp.int32)
+    else:
+        scale = jnp.ones_like(out_re[0][0])
+        oe_ref[0, :] = jnp.zeros_like(out_re[0][0], dtype=jnp.int32)
     for e in range(4):
         for k in range(c):
-            or_ref[0, e, k, :] = out_re[e][k]
-            oi_ref[0, e, k, :] = out_im[e][k]
+            or_ref[0, e, k, :] = out_re[e][k] * scale
+            oi_ref[0, e, k, :] = out_im[e][k] * scale
 
 
-def fused_tree_levels(p, levels: int, *, interpret: bool = False):
-    """Fuse ``levels`` fmult-tree levels: [n, 2, 2, c] -> [n/2^L, 2, 2, c_out].
+def fused_tree_levels(p, levels: int, *, normalize: bool = False,
+                      interpret: bool = False):
+    """Fuse ``levels`` fmult-tree levels:
+    ``[..., n, 2, 2, c] -> [..., n/2^L, 2, 2, c_out]`` (+ exponents).
 
-    Requires n divisible by 2^L * 128. Complex input of any width; compute
-    runs in float32 pairs (complex64 semantics) unless the input is
-    complex128 on a CPU backend (interpret mode), where float64 is kept.
+    Requires n divisible by 2^L * 128 (the caller's power-of-two padding
+    guarantees this whenever n >= 2^L * 128). Arbitrary leading batch
+    dims are flattened into the grid. Compute runs in float32 pairs
+    (complex64 semantics) unless the input is complex128 on a CPU backend
+    (interpret mode), where float64 is kept.
+
+    Returns ``(out, w)`` where ``w`` is the per-subtree int32 exponent
+    array (zeros when ``normalize=False``): true = out * 2**w.
     """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    n, _, _, c_in = p.shape
+    *lead, n, _, _, c_in = p.shape
     group = (1 << levels) * LANES
     if n % group:
         raise ValueError(f"n={n} must be divisible by {group}")
     c_out = (c_in - 1) * (1 << levels) + 1
-    blocks = n // group
+    blocks_per = n // group
+    lead_n = int(np.prod(lead)) if lead else 1
+    blocks = lead_n * blocks_per
     rdt = jnp.float64 if p.dtype == jnp.complex128 else jnp.float32
 
-    # [n, 2, 2, c] -> [blocks, 2^L, 4, c, LANES]: each lane carries one
+    # [..., n, 2, 2, c] -> [blocks, 2^L, 4, c, LANES]: each lane carries one
     # contiguous subtree of 2^L consecutive matrices (tree pairs adjacent
     # time indices), so the reduction axis is the slot axis.
     x = p.reshape(blocks, LANES, 1 << levels, 2, 2, c_in)
-    x = jnp.moveaxis(x, 1, -1)                      # [blocks, 2^L, 2, 2, c, LANES]
+    x = jnp.moveaxis(x, 1, -1)                   # [blocks, 2^L, 2, 2, c, LANES]
     x = x.reshape(blocks, 1 << levels, 4, c_in, LANES)
 
     ar = jnp.real(x).astype(rdt)
     ai = jnp.imag(x).astype(rdt)
 
-    kern = partial(_fused_levels_kernel, levels=levels, c_in=c_in)
-    out_shape = [jax.ShapeDtypeStruct((blocks, 4, c_out, LANES), rdt)] * 2
-    or_, oi_ = pl.pallas_call(
+    kern = partial(_fused_levels_kernel, levels=levels, c_in=c_in,
+                   normalize=normalize)
+    out_shape = [jax.ShapeDtypeStruct((blocks, 4, c_out, LANES), rdt),
+                 jax.ShapeDtypeStruct((blocks, 4, c_out, LANES), rdt),
+                 jax.ShapeDtypeStruct((blocks, LANES), jnp.int32)]
+    or_, oi_, oe_ = pl.pallas_call(
         kern,
         grid=(blocks,),
         in_specs=[pl.BlockSpec((1, 1 << levels, 4, c_in, LANES),
@@ -118,11 +146,14 @@ def fused_tree_levels(p, levels: int, *, interpret: bool = False):
                   pl.BlockSpec((1, 1 << levels, 4, c_in, LANES),
                                lambda b: (b, 0, 0, 0, 0))],
         out_specs=[pl.BlockSpec((1, 4, c_out, LANES), lambda b: (b, 0, 0, 0)),
-                   pl.BlockSpec((1, 4, c_out, LANES), lambda b: (b, 0, 0, 0))],
+                   pl.BlockSpec((1, 4, c_out, LANES), lambda b: (b, 0, 0, 0)),
+                   pl.BlockSpec((1, LANES), lambda b: (b, 0))],
         out_shape=out_shape,
         interpret=interpret,
     )(ar, ai)
 
     out = (or_ + 1j * oi_).astype(p.dtype)          # [blocks, 4, c_out, LANES]
     out = jnp.moveaxis(out, -1, 1)                  # [blocks, LANES, 4, c_out]
-    return out.reshape(blocks * LANES, 2, 2, c_out)
+    out = out.reshape(tuple(lead) + (blocks_per * LANES, 2, 2, c_out))
+    w = oe_.reshape(tuple(lead) + (blocks_per * LANES,))
+    return out, w

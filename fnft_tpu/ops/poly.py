@@ -91,19 +91,28 @@ def _pad_to_power_of_2_2x2(p):
     return jnp.concatenate([p, eye], axis=-4), n_pad - n
 
 
-_FUSED_EARLY_LEVELS = 0  # 0 = off; set via set_fused_early_levels
+_FUSED_EARLY_LEVELS: int | None = None  # None = auto; set via setter below
+_FUSED_AUTO_TPU = 2  # auto levels on the TPU backend (HBM round-trip saver)
 
 
-def set_fused_early_levels(levels: int) -> None:
-    """Enable the Pallas fused kernel for the first ``levels`` tree levels
-    (0 disables). Requires TPU (or interpret mode via CPU); applies when
-    the batch is unbatched, n is divisible by 2^levels * 128, and the
-    per-step degree is small."""
+def set_fused_early_levels(levels: int | None) -> None:
+    """Force the Pallas fused kernel for the first ``levels`` tree levels.
+
+    0 disables; ``None`` restores auto (``_FUSED_AUTO_TPU`` levels on TPU,
+    off on CPU/GPU — interpret mode is for tests only). Applies when n is
+    divisible by 2^levels * 128 after power-of-two padding and the per-step
+    degree is small (deg+1 <= 4)."""
     global _FUSED_EARLY_LEVELS
-    if int(levels) != _FUSED_EARLY_LEVELS:
-        _FUSED_EARLY_LEVELS = int(levels)
+    if levels is not _FUSED_EARLY_LEVELS:
+        _FUSED_EARLY_LEVELS = None if levels is None else int(levels)
         # the flag is read at trace time: drop stale compiled programs
         jax.clear_caches()
+
+
+def _fused_levels_active() -> int:
+    if _FUSED_EARLY_LEVELS is not None:
+        return _FUSED_EARLY_LEVELS
+    return _FUSED_AUTO_TPU if jax.default_backend() == "tpu" else 0
 
 
 def fmult2x2_tree(p, *, normalize: bool = True):
@@ -126,19 +135,17 @@ def fmult2x2_tree(p, *, normalize: bool = True):
     n_pad = p.shape[-4]
     levels = int(math.log2(n_pad)) if n_pad > 1 else 0
 
-    fuse = _FUSED_EARLY_LEVELS
-    if (fuse > 0 and p.ndim == 4 and deg_in + 1 <= 4 and levels > fuse
+    fuse = _fused_levels_active()
+    if (fuse > 0 and deg_in + 1 <= 4 and levels > fuse
             and n_pad % ((1 << fuse) * 128) == 0):
         from fnft_tpu.ops.pallas_kernels import fused_tree_levels
 
         interpret = jax.default_backend() == "cpu"
-        p = fused_tree_levels(p, fuse, interpret=interpret)
+        p, w = fused_tree_levels(p, fuse, normalize=normalize,
+                                 interpret=interpret)
         levels -= fuse
-        w = None
-        if normalize:
-            a_exp = _rescale_exponents(p, axes=(-3, -2, -1))
-            p = p * jnp.exp2(-a_exp.astype(jnp.real(p).dtype))[..., None, None, None]
-            w = a_exp
+        if not normalize:
+            w = None
     else:
         w = jnp.zeros(p.shape[:-4] + (n_pad,), dtype=jnp.int32) \
             if normalize else None

@@ -251,23 +251,45 @@ def aberth_roots(coeffs, z0, num_iters: int = 80):
 
         return jax.lax.fori_loop(0, nch, body, jnp.zeros_like(z))
 
+    rdt = jnp.real(z0).dtype
+
     def sweep(state):
-        z, _, it = state
+        z, frozen, _, it = state
         w = _block_eval_ratio(coeffs, z)
         s = _pairwise_sum(z)
         denom = 1.0 - w * s
         corr = w / jnp.where(denom == 0, 1.0, denom)
-        z_new = z - corr
-        moved = jnp.max(jnp.abs(corr) / jnp.maximum(jnp.abs(z_new), 1e-30))
-        return z_new, moved, it + 1
+        z_new = jnp.where(frozen, z, z - corr)
+        rel = jnp.abs(corr) / jnp.maximum(jnp.abs(z_new), 1e-30)
+        # freeze converged roots: they stop moving but keep repelling the
+        # others through the pairwise sum (cluster stability at deg ~1e4+)
+        frozen = frozen | (rel < tol)
+        moved = jnp.max(jnp.where(frozen, 0.0, rel))
+        return z_new, frozen, moved, it + 1
 
     def cond(state):
-        _, moved, it = state
+        _, _, moved, it = state
         return (moved > tol) & (it < num_iters)
 
-    z, _, _ = jax.lax.while_loop(
-        cond, sweep, (z0, jnp.asarray(jnp.inf, jnp.real(z0).dtype), 0)
-    )
+    def run(z_init, frozen_init, iters):
+        return jax.lax.while_loop(
+            cond, sweep,
+            (z_init, frozen_init, jnp.asarray(jnp.inf, rdt), iters))
+
+    z, frozen, _, it = run(z0, jnp.zeros(deg, dtype=bool), 0)
+
+    # stagnation restart (eiscor analogue: deflation restarts). Roots still
+    # moving after the budget are nudged off the stagnation cycle by a
+    # deterministic per-root phase kick and given the remaining sweeps.
+    def restart(args):
+        z_, frozen_ = args
+        kick = 1.0 + 64.0 * tol * jnp.cos(
+            jnp.arange(deg, dtype=rdt) * 2.399963229728653)  # golden angle
+        z_k = jnp.where(frozen_, z_, z_ * kick.astype(z_.dtype))
+        z2, _, _, _ = run(z_k, frozen_, num_iters // 2)
+        return z2
+
+    z = jax.lax.cond(jnp.all(frozen), lambda a: a[0], restart, (z, frozen))
     return z
 
 

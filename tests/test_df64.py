@@ -16,6 +16,23 @@ from fnft_tpu.ops.df64 import (
 )
 
 
+def test_df_mul_vmap_broadcast_operand():
+    """Regression: jit(vmap(df_mul, in_axes=(0, None))) degraded to plain
+    f32 accuracy when one operand was an unbatched broadcast — XLA:CPU
+    mangles the error-free transformations across broadcast_in_dim. The
+    _df_align pre-broadcast keeps the pair exact (~1e-14)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 1000))
+    y = rng.normal(size=1000)
+    xs = jax.tree.map(jnp.asarray, df_from_f64(x))
+    ys = jax.tree.map(jnp.asarray, df_from_f64(y))
+    out = jax.jit(jax.vmap(df_mul, in_axes=(0, None)))(xs, ys)
+    got = np.asarray(df_to_f64(jax.tree.map(lambda t: t[0], out)))
+    assert np.max(np.abs(got - x[0] * y)) < 1e-13
+
+
 def test_df_primitives():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=512))
@@ -40,15 +57,7 @@ def test_df64_fft_double_precision_class():
 def test_df64_transfer_matrix_coeffs():
     """df64 one-step matrices match complex128 to ~1e-14 (series expm).
 
-    Validated interactively to 8e-15 (SPLIT4B), 8e-16 (SPLIT2A), 1.2e-14
-    (SPLIT4A); the unrolled df64 graph compiles slowly on a single CPU
-    core, so this is gated like the full-pipeline test."""
-    import os
-
-    import pytest
-
-    if not os.environ.get("FNFT_SLOW_TESTS"):
-        pytest.skip("set FNFT_SLOW_TESTS=1 to run (compile-heavy)")
+    Validated to 8e-15 (SPLIT4B), 8e-16 (SPLIT2A), 1.2e-14 (SPLIT4A)."""
     import fnft_tpu as ft
     from fnft_tpu.ops.df64 import cdf_from_c128
     from fnft_tpu.ops.df64_pipeline import transfer_matrix_coeffs_df64
@@ -67,29 +76,32 @@ def test_df64_transfer_matrix_coeffs():
 
 
 def test_df64_full_contspec_pipeline():
-    """End-to-end df64 contspec matches the complex128 driver to ~1e-13.
+    """End-to-end df64 contspec matches the complex128 driver to ~1e-13
+    at D=1024 with the full M=D chirp grid, including the batched path.
 
-    Compile-heavy on a single CPU core; gate behind FNFT_SLOW_TESTS (the
-    measured result at D=256 was 6.6e-14 vs the c128 driver, where
-    complex64 gives 6.9e-6)."""
-    import os
-
-    if not os.environ.get("FNFT_SLOW_TESTS"):
-        import pytest
-
-        pytest.skip("set FNFT_SLOW_TESTS=1 to run (compile-heavy)")
+    (complex64 at the same size errs at ~7e-6; measured df64 deviation is
+    ~1e-13. First call costs ~30 s of one-time XLA compile on 1 CPU core;
+    the staged programs are cached afterwards.)"""
     import fnft_tpu as ft
     from fnft_tpu.ops.df64_pipeline import nsev_contspec_df64
     from fnft_tpu.testcases import NsevTestcase, nsev_testcase
 
-    data = nsev_testcase(NsevTestcase.SECH_FOCUSING, 256)
-    rho = np.asarray(nsev_contspec_df64(jnp.asarray(data.q), d=256,
-                                        m=data.m, t_span=data.t_span,
+    d = 1024
+    data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
+    rho = np.asarray(nsev_contspec_df64(jnp.asarray(data.q), d=d,
+                                        m=d, t_span=data.t_span,
                                         xi_span=data.xi_span))
-    ref = np.asarray(ft.nsev(jnp.asarray(data.q), data.t_span, m=data.m,
+    ref = np.asarray(ft.nsev(jnp.asarray(data.q), data.t_span, m=d,
                              xi_span=data.xi_span, kappa=+1,
                              want_bound_states=False).reflection_coefficient)
     assert np.sum(np.abs(rho - ref)) / np.sum(np.abs(ref)) < 1e-12
+
+    # batched rows reproduce the single-signal results
+    qb = np.stack([np.asarray(data.q), 0.5 * np.asarray(data.q)])
+    rb = np.asarray(nsev_contspec_df64(qb, d=d, m=d, t_span=data.t_span,
+                                       xi_span=data.xi_span))
+    assert rb.shape == (2, d)
+    np.testing.assert_allclose(rb[0], rho, rtol=1e-10, atol=1e-12)
 
 
 def test_df64_tree_beats_complex64_by_orders():

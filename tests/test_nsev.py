@@ -32,21 +32,25 @@ CASES = [
      (6.2e-5, 1.0e-4, 3.1e-5, 2.4e-4, 5e-14, 3.3e-5), False, False),
     (TC.SECH_FOCUSING, D_.SPLIT7A, 256,
      (9.9e-4, 1.7e-3, 4.9e-4, 3.9e-3, 5e-14, 6.0e-4), False, False),
+    (TC.SECH_FOCUSING, D_.SPLIT4A4, 512,
+     (1.6e-6, 4.3e-6, 1.5e-6, 2.2e-7, 5e-15, 1.1e-6), False, False),
     (TC.SECH_FOCUSING, D_.SPLIT4B4, 1024,
      (5.2e-8, 1.6e-7, 4.5e-8, 1.4e-8, 5e-15, 6.3e-8), False, False),
-    (TC.SECH_FOCUSING, D_.BO, 2048,
+    # the higher-order schemes run on SECH_FOCUSING2 (A=5.4, carrier -6t,
+    # 5 bound states) exactly like the reference's per-scheme tests
+    (TC.SECH_FOCUSING2, D_.BO, 2048,
      (5.7e-2, 2.8e-2, 9.1e-3, 8.9e-3, 5e-14, 1.6e-2), True, False),
-    (TC.SECH_FOCUSING, D_.CF4_2, 512,
+    (TC.SECH_FOCUSING2, D_.CF4_2, 512,
      (7.1e-3, 3.5e-3, 1.2e-3, 1.2e-3, 3.2e-11, 1.6e-3), True, False),
-    (TC.SECH_FOCUSING, D_.CF4_3, 513,
+    (TC.SECH_FOCUSING2, D_.CF4_3, 513,
      (2.8e-4, 1.5e-4, 4.1e-5, 1.6e-4, 4.0e-14, 6.2e-4), True, False),
-    (TC.SECH_FOCUSING, D_.CF5_3, 399,
+    (TC.SECH_FOCUSING2, D_.CF5_3, 399,
      (7.5e-5, 4.2e-5, 4.2e-5, 4.1e-5, 2.8e-4, 2.7e-4), True, False),
-    (TC.SECH_FOCUSING, D_.CF6_4, 400,
+    (TC.SECH_FOCUSING2, D_.CF6_4, 400,
      (1.7e-4, 7.9e-5, 2.4e-5, 4.3e-5, 5.0e-14, 7.7e-5), True, False),
-    (TC.SECH_FOCUSING, D_.ES4, 512,
+    (TC.SECH_FOCUSING2, D_.ES4, 512,
      (9.7e-2, 4.8e-2, 1.7e-2, 2.5e-2, 3.2e-11, 4.7e-2), True, False),
-    (TC.SECH_FOCUSING, D_.TES4, 1024,
+    (TC.SECH_FOCUSING2, D_.TES4, 1024,
      (7.7e-3, 3.8e-3, 1.2e-3, 1.2e-3, 3.2e-11, 4.8e-2), True, False),
     (TC.SECH_DEFOCUSING, D_.SPLIT2A, 4096,
      (2.2e-4, None, None, None, None, None), False, False),
@@ -108,6 +112,32 @@ def test_nsev_convergence_order_2split4B():
     e2 = _run_case(TC.SECH_FOCUSING, D_.SPLIT4B, 8192, False, False)
     for key in ("contspec", "a", "b"):
         assert e2[key] <= e1[key] / 3.6, (key, e1[key], e2[key])
+
+
+# per-order-class convergence: at 2D every reference bound divided by 2^order
+# must still hold (the reference's exact pattern, e.g. sech_focusing_CF6_4.c:
+# D *= 2; error_bounds[i] /= 64; error_bounds[4] *= 64 (already at machine
+# precision); error_bounds[5] *= 8 (residue has lower order)).
+ORDER_CASES = [
+    (D_.BO, 2048, (5.7e-2, 2.8e-2, 9.1e-3, 8.9e-3, 5e-14, 1.6e-2),
+     4.0, {"normconsts": 4.0}),                             # order 2
+    (D_.CF4_2, 512, (7.1e-3, 3.5e-3, 1.2e-3, 1.2e-3, 3.2e-11, 1.6e-3),
+     16.0, {"normconsts": 16.0}),                           # order 4
+    (D_.CF5_3, 400, (7.5e-5, 4.2e-5, 4.2e-5, 4.1e-5, 2.8e-4, 2.7e-4),
+     32.0, {}),                                             # order 5
+    (D_.CF6_4, 400, (1.7e-4, 7.9e-5, 2.4e-5, 4.3e-5, 5.0e-14, 7.7e-5),
+     64.0, {"normconsts": 64.0, "residues": 8.0}),          # order 6
+]
+
+
+@pytest.mark.parametrize("disc,d,bounds,decay,relax", ORDER_CASES,
+                         ids=[c[0].value for c in ORDER_CASES])
+def test_nsev_convergence_order_per_class(disc, d, bounds, decay, relax):
+    errs = _run_case(TC.SECH_FOCUSING2, disc, 2 * d, True, False)
+    for key, bound in zip(_KEYS, bounds):
+        scaled = bound / decay * relax.get(key, 1.0)
+        assert errs[key] is not None and errs[key] <= scaled, \
+            (key, errs[key], scaled)
 
 
 def test_nsev_BO_richardson():

@@ -1,0 +1,132 @@
+"""Scale-hardening tests for the Aberth rootfinder (eiscor's regime).
+
+eiscor is backward-stable at deg ~1e5 (reference
+src/3rd_party/eiscor/z_poly_roots_modified.f90:39-122); the nsev
+SUBSAMPLE_AND_REFINE path at D=2^20 produces monodromy polynomials of
+deg ~4e4. These tests stress the Ehrlich-Aberth replacement on
+
+* real subsampled monodromy polynomials (Satsuma-Yajima sech), checking
+  that every analytic bound state is localized, and
+* synthetic clustered unit-circle polynomials at deg 2^12, checking
+  residual acceptance per root.
+
+deg 2^16+ and the end-to-end D=2^20 run cost tens of CPU-minutes and are
+gated behind FNFT_SLOW_TESTS=1 (the TPU runs them in seconds).
+"""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fnft_tpu  # noqa: F401  (x64 switch below)
+
+fnft_tpu.use_x64()
+
+SLOW = os.environ.get("FNFT_SLOW_TESTS") == "1"
+
+
+def _monodromy_poly(d: int):
+    """Subsampled-monodromy a(z) coefficients exactly as nsev's S&R builds
+    them (models/nsev.py); returns (coeffs, eps_t_sub, disc)."""
+    from fnft_tpu.models import nse
+    from fnft_tpu.models.discretization import Discretization
+    from fnft_tpu.ops.fscatter import fscatter
+    from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+
+    disc = Discretization.SPLIT4B
+    data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
+    t0, t1 = data.t_span
+    eps_t = (t1 - t0) / (d - 1)
+    dsub = int(math.sqrt(d * math.log2(d) ** 2))
+    qs_eff, rs_eff, dsub_act, (i0, i1) = nse.preprocess_signal(
+        jnp.asarray(data.q), eps_t, +1, disc, dsub)
+    ts0, ts1 = t0 + i0 * eps_t, t0 + i1 * eps_t
+    eps_sub = (ts1 - ts0) / (dsub_act - 1)
+    tm, _ = fscatter(qs_eff, rs_eff, eps_sub, disc, normalize=True)
+    return tm[0, 0], eps_sub, disc, data.bound_states
+
+
+def _locate(coeffs, eps_sub, disc, exact):
+    from fnft_tpu.models.discretization import z_to_lambda
+    from fnft_tpu.ops.roots import poly_roots
+
+    roots = poly_roots(coeffs)
+    lam = np.asarray(z_to_lambda(roots, eps_sub, disc))
+    keep = lam[(np.abs(lam.real) < 2) & (lam.imag > 0.2) & (lam.imag < 5)]
+    return np.array([np.min(np.abs(keep - e)) if keep.size else np.inf
+                     for e in exact])
+
+
+@pytest.mark.parametrize("d,bound", [
+    (65536, 2e-5),
+    pytest.param(262144, 1e-5, marks=pytest.mark.skipif(
+        not SLOW, reason="deg ~19k Aberth: minutes on 1 CPU core")),
+])
+def test_monodromy_roots_at_scale(d, bound):
+    """All Satsuma-Yajima bound states localized from the deg ~8e3-2e4
+    subsampled monodromy polynomial (the D=2^18 S&R working regime)."""
+    coeffs, eps_sub, disc, exact = _monodromy_poly(d)
+    dists = _locate(coeffs, eps_sub, disc, exact)
+    assert np.all(dists < bound), dists
+
+
+def test_clustered_unit_circle_residuals():
+    """deg-4096 polynomial with 2^W-rescaled magnitudes and tight root
+    clusters near |z|=1: every returned root must satisfy a backward-error
+    residual acceptance |p(z)| <= deg * eps * max|c_k| * max(|z|,1)^deg
+    (scaled Horner), the standard backward-stability criterion."""
+    from fnft_tpu.ops.roots import poly_roots
+
+    rng = np.random.default_rng(7)
+    deg = 4096
+    ang = np.sort(rng.uniform(0, 2 * np.pi, deg))
+    # three tight clusters of 8 roots each, 1e-4 apart
+    for c in range(3):
+        base = ang[100 + 700 * c]
+        ang[100 + 700 * c: 108 + 700 * c] = base + 1e-4 * np.arange(8)
+    radii = np.exp(rng.normal(0.0, 1e-3, deg))  # just off the circle
+    roots_exact = radii * np.exp(1j * ang)
+    coeffs = np.asarray(np.polynomial.polynomial.polyfromroots(roots_exact))
+    coeffs *= 2.0 ** -120  # W-normalization-style overall scale
+
+    got = np.asarray(poly_roots(jnp.asarray(coeffs)))
+
+    # residual acceptance via scaled reversed Horner
+    c_desc = coeffs[::-1]
+    inside = np.abs(got) <= 1.0
+    pv = np.polyval(c_desc, got)
+    pv_rev = np.polyval(coeffs, 1.0 / np.where(got == 0, 1.0, got))
+    scale_in = np.max(np.abs(coeffs))
+    resid = np.where(inside, np.abs(pv) / scale_in,
+                     np.abs(pv_rev) / scale_in)
+    tol = deg * np.finfo(np.float64).eps * 100
+    frac_ok = np.mean(resid <= tol)
+    assert frac_ok > 0.999, (frac_ok, np.sort(resid)[-8:])
+
+    # cluster roots: an 8-fold near-multiple root is only determined to
+    # ~eps^(1/8) ≈ 1e-2 by ANY backward-stable method (incl. eiscor), so
+    # check each cluster is hit by >= 8 roots within that bound
+    for c in range(3):
+        center = roots_exact[100 + 700 * c]
+        n_close = int(np.sum(np.abs(got - center) < 3e-2))
+        assert n_close >= 8, (c, n_close)
+        assert np.min(np.abs(got - center)) < 5e-3
+
+
+@pytest.mark.skipif(not SLOW, reason="D=2^20 end-to-end: ~1h on 1 CPU core")
+def test_nsev_bound_states_d_2pow20():
+    """End-to-end SUBSAMPLE_AND_REFINE discrete spectrum at D=2^20
+    (Satsuma-Yajima, 3 states) — the BASELINE.md north-star configuration."""
+    import fnft_tpu as ft
+    from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+
+    d = 1 << 20
+    data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
+    res = ft.nsev(jnp.asarray(data.q), data.t_span, m=0, kappa=+1)
+    got = np.sort_complex(np.asarray(res.bound_states))
+    assert got.size == 3, got
+    np.testing.assert_allclose(got, data.bound_states, atol=1e-6)
