@@ -160,6 +160,26 @@ def cdf_mul(x, y):
     return (re, im)
 
 
+def cdf_div(x, y):
+    """Complex df64 quotient: f32 Smith-style estimate + two cdf residual
+    corrections (classic double-double division refinement)."""
+    def approx_div(nr, ni, yr, yi):
+        den = yr * yr + yi * yi
+        den = jnp.where(den == 0, 1.0, den)
+        return (nr * yr + ni * yi) / den, (ni * yr - nr * yi) / den
+
+    def as_cdf(qr, qi):
+        z = jnp.zeros_like(qr)
+        return ((qr, z), (qi, z))
+
+    q1 = as_cdf(*approx_div(x[0][0], x[1][0], y[0][0], y[1][0]))
+    r1 = cdf_sub(x, cdf_mul(q1, y))
+    q2 = as_cdf(*approx_div(r1[0][0], r1[1][0], y[0][0], y[1][0]))
+    r2 = cdf_sub(r1, cdf_mul(q2, y))
+    q3 = as_cdf(*approx_div(r2[0][0], r2[1][0], y[0][0], y[1][0]))
+    return cdf_add(cdf_add(q1, q2), q3)
+
+
 def _cdf_stack(parts, axis=0):
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=axis), *parts)
 

@@ -418,3 +418,83 @@ def nsev_contspec_df64(q128, *, d: int, m: int, t_span, xi_span,
         num, h11 = core(cdf_from_c128(q128))
     # rho = num / h11: single complex128 divide at the host boundary
     return cdf_to_c128(num) / cdf_to_c128(h11)
+
+# ---------------------------------------------------------------------------
+# df64 bound states: Newton polish on the transfer-matrix polynomial
+# ---------------------------------------------------------------------------
+
+def _horner_pd_df64(coeffs, z):
+    """(p(z), p'(z)) in cdf arithmetic; ascending coeffs [c], points [K].
+
+    Bound-state z-points lie strictly inside the unit disk (Im lam > 0),
+    so plain Horner is stable (reference fnft__poly_eval.c uses the
+    reversed form only for |z| > 1).
+    """
+    from fnft_tpu.ops.df64 import _cdf_zeros_like
+
+    zero = _cdf_zeros_like(z)
+
+    def step(carry, ck):
+        p, dp = carry
+        dp = cdf_add(cdf_mul(dp, z), p)
+        p = cdf_add(cdf_mul(p, z), ck)
+        return (p, dp), None
+
+    rev = jax.tree.map(lambda t: t[::-1], coeffs)
+    (p, dp), _ = jax.lax.scan(step, (zero, zero), rev)
+    return p, dp
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _polish_stage_df64(tm00, z0, iters: int = 3):
+    from fnft_tpu.ops.df64 import cdf_div
+
+    def body(k, z):
+        p, dp = _horner_pd_df64(tm00, z)
+        return cdf_sub(z, cdf_div(p, dp))
+
+    return jax.lax.fori_loop(0, iters, body, z0)
+
+
+def nsev_boundstates_df64(q128, *, d: int, t_span, kappa: int = +1,
+                          disc: Discretization = Discretization.SPLIT4B,
+                          initial_states=None, iters: int = 4):
+    """Bound states at reference accuracy from float32-pair arithmetic.
+
+    The discrete spectrum of the discretized system is exactly the set of
+    a-polynomial roots in the upper-half-plane image; this routine builds
+    the full-D transfer polynomial in df64 and Newton-polishes initial
+    eigenvalue estimates (from the complex64 production pipeline unless
+    supplied) against it. Covers the reference's FAST_EIGENVALUE +
+    refinement semantics (fnft_nsev.c:595-741) in the TPU precision mode.
+    """
+    if kappa != +1:
+        raise ValueError("bound states require kappa=+1")
+    enable_compilation_cache()
+    q128 = np.asarray(q128, dtype=np.complex128)
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    eps_t = (t1 - t0) / (d - 1)
+
+    if initial_states is None:
+        import fnft_tpu as ft
+
+        res = ft.nsev(jnp.asarray(q128.astype(np.complex64)), (t0, t1),
+                      m=0, kappa=+1,
+                      opts=ft.NsevOpts(discretization=disc))
+        initial_states = np.asarray(res.bound_states, dtype=np.complex128)
+    lam0 = np.asarray(initial_states, dtype=np.complex128)
+    if lam0.size == 0:
+        return lam0
+
+    q_cdf = cdf_from_c128(q128)
+    p = _tm_stage_df64(q_cdf, eps_t=eps_t, kappa=kappa, disc=disc)
+    tm, _ = _tree_stage_df64(p, n_true=d, deg_in=degree(disc))
+    tm00 = _cdf_index(tm, (0, 0, slice(None)))
+
+    from fnft_tpu.models.discretization import degree1step_total
+
+    deg1 = degree1step_total(disc)
+    z0 = np.exp(2j * lam0 * (eps_t / deg1))
+    z = _polish_stage_df64(tm00, cdf_from_c128(z0), iters=iters)
+    z128 = cdf_to_c128(z)
+    return np.log(z128) * (deg1 / (2j * eps_t))

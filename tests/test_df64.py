@@ -104,6 +104,30 @@ def test_df64_full_contspec_pipeline():
     np.testing.assert_allclose(rb[0], rho, rtol=1e-10, atol=1e-12)
 
 
+def test_df64_bound_states_polish():
+    """df64 bound states: Newton polish against the df64 transfer
+    polynomial reaches ~5e-9 of the polynomial's true roots (sequential
+    Horner rounding floor at deg 2048) — vs ~1e-5 for complex64, and far
+    below the discretization's own ~1e-5 method error at D=1024."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from fnft_tpu.ops.df64_pipeline import nsev_boundstates_df64
+    from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+
+    d = 1024
+    data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
+    lam = nsev_boundstates_df64(data.q, d=d, t_span=data.t_span)
+    lam = lam[np.argsort(lam.imag)]
+    assert lam.size == 3
+    # float64 Newton on the same polynomial gives these roots (the SPLIT4B
+    # discretization's own bound states at D=1024)
+    truth = np.array([0.69998415j, 1.6999083j, 2.69977704j])
+    assert np.max(np.abs(lam - truth)) < 1e-7, lam
+    # and they sit within the discretization error of the analytic states
+    np.testing.assert_allclose(lam, data.bound_states, atol=5e-4)
+
+
 def test_df64_tree_beats_complex64_by_orders():
     rng = np.random.default_rng(2)
     n, c = 128, 3

@@ -56,6 +56,31 @@ def test_chunked_matches_dense(monkeypatch, disc, skip_b):
                                    rtol=1e-9, atol=1e-12)
 
 
+def test_full_spectrum_d_2pow16():
+    """Full discrete spectrum at D=2^16: the phi/psi sweeps cross the
+    2^15-step threshold, so this exercises the chunked two-pass path at
+    real scale inside the driver (VERDICT item 8's acceptance test).
+    Gated: ~10 CPU-minutes; trivial on TPU."""
+    import os
+
+    if not os.environ.get("FNFT_SLOW_TESTS"):
+        pytest.skip("set FNFT_SLOW_TESTS=1 to run (minutes on 1 CPU core)")
+    import fnft_tpu as ft
+    from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+
+    d = 1 << 16
+    data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
+    opts = ft.NsevOpts(discspec_type=ft.DiscspecType.BOTH)
+    res = ft.nsev(jnp.asarray(data.q), data.t_span, m=0, kappa=+1, opts=opts)
+    got = np.sort_complex(np.asarray(res.bound_states))
+    assert got.size == 3, got
+    np.testing.assert_allclose(got, data.bound_states, atol=1e-7)
+    # norming constants at the reference's exact values (+-i alternating)
+    idx = np.argsort(np.asarray(res.bound_states).imag)
+    nc = np.asarray(res.norming_constants)[idx]
+    np.testing.assert_allclose(nc, data.norming_constants, atol=1e-5)
+
+
 def test_chunk_len_picker():
     assert scatter_mod._pick_chunk_len(1 << 20, 1) == 4096
     assert scatter_mod._pick_chunk_len(2 * (1 << 20), 2) == 4096
