@@ -87,10 +87,12 @@ def _fused_levels_kernel(ar_ref, ai_ref, or_ref, oi_ref, oe_ref, *,
         aexp = jnp.where(mx > 0, jnp.floor(jnp.log2(safe)),
                          jnp.zeros_like(mx))
         scale = jnp.exp2(-aexp)
-        oe_ref[0, :] = aexp.astype(jnp.int32)
     else:
+        aexp = jnp.zeros_like(out_re[0][0])
         scale = jnp.ones_like(out_re[0][0])
-        oe_ref[0, :] = jnp.zeros_like(out_re[0][0], dtype=jnp.int32)
+    # exponent plane padded to 8 sublanes (Mosaic tiling: the last two
+    # output dims must be (8k, 128m)); caller reads sublane 0
+    oe_ref[0, :, :] = jnp.broadcast_to(aexp.astype(jnp.int32), (8, LANES))
     for e in range(4):
         for k in range(c):
             or_ref[0, e, k, :] = out_re[e][k] * scale
@@ -137,7 +139,7 @@ def fused_tree_levels(p, levels: int, *, normalize: bool = False,
                    normalize=normalize)
     out_shape = [jax.ShapeDtypeStruct((blocks, 4, c_out, LANES), rdt),
                  jax.ShapeDtypeStruct((blocks, 4, c_out, LANES), rdt),
-                 jax.ShapeDtypeStruct((blocks, LANES), jnp.int32)]
+                 jax.ShapeDtypeStruct((blocks, 8, LANES), jnp.int32)]
     or_, oi_, oe_ = pl.pallas_call(
         kern,
         grid=(blocks,),
@@ -147,7 +149,7 @@ def fused_tree_levels(p, levels: int, *, normalize: bool = False,
                                lambda b: (b, 0, 0, 0, 0))],
         out_specs=[pl.BlockSpec((1, 4, c_out, LANES), lambda b: (b, 0, 0, 0)),
                    pl.BlockSpec((1, 4, c_out, LANES), lambda b: (b, 0, 0, 0)),
-                   pl.BlockSpec((1, LANES), lambda b: (b, 0))],
+                   pl.BlockSpec((1, 8, LANES), lambda b: (b, 0, 0))],
         out_shape=out_shape,
         interpret=interpret,
     )(ar, ai)
@@ -155,5 +157,5 @@ def fused_tree_levels(p, levels: int, *, normalize: bool = False,
     out = (or_ + 1j * oi_).astype(p.dtype)          # [blocks, 4, c_out, LANES]
     out = jnp.moveaxis(out, -1, 1)                  # [blocks, LANES, 4, c_out]
     out = out.reshape(tuple(lead) + (blocks_per * LANES, 2, 2, c_out))
-    w = oe_.reshape(tuple(lead) + (blocks_per * LANES,))
+    w = oe_[:, 0, :].reshape(tuple(lead) + (blocks_per * LANES,))
     return out, w

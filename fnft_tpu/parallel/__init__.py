@@ -7,3 +7,8 @@ from fnft_tpu.parallel.batch_full import (  # noqa: F401
     BatchedNsevResult,
     make_batched_full_nsev,
 )
+from fnft_tpu.parallel.batch_nsep import (  # noqa: F401
+    BatchedNsepResult,
+    batched_nsep,
+    make_batched_nsep_fn,
+)
