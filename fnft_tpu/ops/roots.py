@@ -182,7 +182,7 @@ def newton_polygon_init_jax(coeffs):
 
     stack0 = jnp.zeros((n1,), jnp.int32)
     (stack, size), _ = jax.lax.scan(push, (stack0, jnp.int32(0)),
-                                    jnp.arange(n1))
+                                    jnp.arange(n1, dtype=jnp.int32))
 
     # per-coefficient segment assignment: root slot r (0..deg-1) belongs to
     # hull segment (stack[s], stack[s+1]) covering ks in [stack[s], stack[s+1})
