@@ -111,6 +111,19 @@ def df_mul(x, y):
     return _quick_two_sum(p, e)
 
 
+def df_rsqrt(x):
+    """1/sqrt(x) for positive real df pairs: f32 estimate + two
+    division-free Newton steps s <- s (3 - x s^2) / 2 in df arithmetic."""
+    s0 = jax.lax.rsqrt(jnp.maximum(x[0], jnp.finfo(jnp.float32).tiny))
+    s = (s0, jnp.zeros_like(s0))
+    half = (jnp.full_like(s0, 0.5), jnp.zeros_like(s0))
+    three = (jnp.full_like(s0, 3.0), jnp.zeros_like(s0))
+    for _ in range(2):
+        xs2 = df_mul(x, df_mul(s, s))
+        s = df_mul(df_mul(s, df_sub(three, xs2)), half)
+    return s
+
+
 # ---------------------------------------------------------------------------
 # complex df64: ((re_hi, re_lo), (im_hi, im_lo))
 # ---------------------------------------------------------------------------

@@ -1,0 +1,193 @@
+"""Fast inverse scattering in double-float (float32-pair) arithmetic.
+
+df64 counterpart of ops.finvscatter (reference
+fnft__nse_finvscatter.c:29-366): the divide-and-conquer layer peel runs
+entirely on cdf coefficient pytrees — FFT polynomial products via
+fft_df64, base-case one-step inverses with a division-free df64 rsqrt —
+so the TPU recovers time-domain samples at reference (double) accuracy
+from pure float32 ops.
+
+The only transcendental of the 2SPLIT2A base case, q = atan|Q| e^{i arg Q},
+affects just the OUTPUT map (never the recursion state), so it is applied
+on the host in float64 after the peel; 2SPLIT2_MODAL's map is linear.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fnft_tpu.models.discretization import Discretization, degree
+from fnft_tpu.ops.df64 import (
+    _cdf_index,
+    cdf_add,
+    cdf_div,
+    cdf_from_c128,
+    cdf_mul,
+    cdf_to_c128,
+    df_mul,
+    df_rsqrt,
+    fft_df64,
+)
+from fnft_tpu.utils.misc import next_fft_length
+
+_SCAN_CUTOFF = 32  # blocks at or below this degree peel sequentially
+
+
+def _pad_to(z, length):
+    return jax.tree.map(
+        lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1)
+                          + [(0, length - t.shape[-1])]), z)
+
+
+def _slice_c(z, sl):
+    return jax.tree.map(lambda t: t[..., sl], z)
+
+
+def _polymatmul_df64(a, b, out_len=None):
+    """(a @ b)(z) for cdf [..., 2, 2, ca] x [..., 2, 2, cb]."""
+    ca = a[0][0].shape[-1]
+    cb = b[0][0].shape[-1]
+    n_out = ca + cb - 1
+    length = next_fft_length(n_out)
+    fa = fft_df64(_pad_to(a, length), length)
+    fb = fft_df64(_pad_to(b, length), length)
+
+    rows = []
+    for i in range(2):
+        cols = []
+        for j in range(2):
+            acc = None
+            for k in range(2):
+                term = cdf_mul(
+                    _cdf_index(fa, (Ellipsis, i, k, slice(None))),
+                    _cdf_index(fb, (Ellipsis, k, j, slice(None))))
+                acc = term if acc is None else cdf_add(acc, term)
+            cols.append(acc)
+        rows.append(jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *cols))
+    fc = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-3), *rows)
+    out = fft_df64(fc, length, inverse=True)
+    return _slice_c(out, slice(0, out_len if out_len is not None else n_out))
+
+
+def _base_case_df64(t, kappa: int):
+    """One-sample inversion: returns (Q cdf scalar, Ti cdf [2,2,2]).
+
+    Q = -kappa conj(T10_0 / T00_0); Ti as in fnft__nse_finvscatter.c:167-227
+    but with the sample's output map deferred to the host.
+    """
+    t00 = _cdf_index(t, (Ellipsis, 0, 0, 0))
+    t10 = _cdf_index(t, (Ellipsis, 1, 0, 0))
+    ratio = cdf_div(t10, t00)
+    # Q = -kappa * conj(ratio)
+    qr = ((-kappa * ratio[0][0], -kappa * ratio[0][1]),
+          (kappa * ratio[1][0], kappa * ratio[1][1]))
+    # scl = 1/sqrt(1 + kappa |Q|^2) (real df pair)
+    absq2 = cdf_mul(qr, ((qr[0][0], qr[0][1]), (-qr[1][0], -qr[1][1])))[0]
+    one = (jnp.ones_like(absq2[0]), jnp.zeros_like(absq2[0]))
+    den = _df_addk(one, absq2, kappa)
+    scl = df_rsqrt(den)
+    scl_c = ((scl[0], scl[1]),
+             (jnp.zeros_like(scl[0]), jnp.zeros_like(scl[0])))
+
+    zero = jax.tree.map(jnp.zeros_like, scl_c)
+    mscl_q = cdf_mul(scl_c, qr)
+    neg_mscl_q = ((-mscl_q[0][0], -mscl_q[0][1]),
+                  (-mscl_q[1][0], -mscl_q[1][1]))
+    kq_conj = ((kappa * qr[0][0], kappa * qr[0][1]),
+               (-kappa * qr[1][0], -kappa * qr[1][1]))
+    scl_kq = cdf_mul(scl_c, kq_conj)
+
+    # Ti[i][j] = [coeff0, coeff1]
+    entries = [[[zero, scl_c], [zero, neg_mscl_q]],
+               [[scl_kq, zero], [scl_c, zero]]]
+
+    def stack(sel):
+        return jnp.stack([
+            jnp.stack([
+                jnp.stack([sel(entries[i][j][k]) for k in range(2)], axis=-1)
+                for j in range(2)], axis=-2)
+            for i in range(2)], axis=-3)
+
+    ti = ((stack(lambda v: v[0][0]), stack(lambda v: v[0][1])),
+          (stack(lambda v: v[1][0]), stack(lambda v: v[1][1])))
+    return qr, ti
+
+
+def _df_addk(x, y, k: int):
+    """x + k*y for real df pairs, k in {-1, +1}."""
+    from fnft_tpu.ops.df64 import df_add, df_sub
+
+    return df_add(x, y) if k > 0 else df_sub(x, y)
+
+
+def _peel_scan_df64(t, deg: int, kappa: int):
+    """Sequential one-sample peel of a block (cf. finvscatter._peel_scan)."""
+    c = deg + 1
+
+    def step(carry, _):
+        t_cur, acc = carry
+        qq, ti = _base_case_df64(_slice_c(t_cur, slice(0, 2)), kappa)
+        t_next = _slice_c(_polymatmul_df64(ti, t_cur), slice(1, c + 1))
+        acc = _polymatmul_df64(ti, acc, out_len=c)
+        return (t_next, acc), qq
+
+    shape = t[0][0].shape[:-3]
+    eye_hi = jnp.zeros(shape + (2, 2, c), jnp.float32)
+    eye_hi = eye_hi.at[..., 0, 0, 0].set(1.0).at[..., 1, 1, 0].set(1.0)
+    zero = jnp.zeros_like(eye_hi)
+    eye = ((eye_hi, zero), (zero, zero))
+    (t_fin, ti_total), q_rev = jax.lax.scan(step, (t, eye), None, length=deg)
+    # q_rev leaves have the scan axis leading; reverse to natural order
+    q = jax.tree.map(lambda a: jnp.moveaxis(a, 0, -1)[..., ::-1], q_rev)
+    return q, ti_total
+
+
+def _recurse_df64(t, deg: int, kappa: int, need_inverse: bool):
+    if 1 < deg <= _SCAN_CUTOFF:
+        q, ti = _peel_scan_df64(t, deg, kappa)
+        return q, (ti if need_inverse else None)
+    if deg == 1:
+        qq, ti = _base_case_df64(t, kappa)
+        q = jax.tree.map(lambda a: a[..., None], qq)
+        return q, (ti if need_inverse else None)
+    d2 = deg // 2
+    t2_approx = _slice_c(t, slice(0, d2 + 1))
+    q_hi, t2i = _recurse_df64(t2_approx, d2, kappa, True)
+    prod = _polymatmul_df64(t2i, t, out_len=deg + 1)
+    t1 = _slice_c(prod, slice(d2, deg + 1))
+    q_lo, t1i = _recurse_df64(t1, d2, kappa, need_inverse)
+    ti = _polymatmul_df64(t1i, t2i) if need_inverse else None
+    q = jax.tree.map(lambda a, b_: jnp.concatenate([a, b_], axis=-1),
+                     q_lo, q_hi)
+    return q, ti
+
+
+@partial(jax.jit, static_argnames=("deg", "kappa"))
+def _finvscatter_core_df64(t, deg: int, kappa: int):
+    q, _ = _recurse_df64(t, deg, kappa, need_inverse=False)
+    return q
+
+
+def finvscatter_df64(transfer_matrix, eps_t: float, kappa: int,
+                     disc: Discretization = Discretization.SPLIT2A):
+    """Recover D samples from T [2, 2, deg+1] (complex128 in/out).
+
+    The peel runs in float32-pair arithmetic on device; the per-sample
+    output map (atan for 2SPLIT2A, linear for 2SPLIT2_MODAL) is applied
+    in float64 on the host.
+    """
+    tm = np.asarray(transfer_matrix, dtype=np.complex128)
+    deg = tm.shape[-1] - 1
+    d = deg // max(degree(disc), 1)
+    if d < 2 or d & (d - 1):
+        raise ValueError("D must be a positive power of two")
+    qq = cdf_to_c128(_finvscatter_core_df64(cdf_from_c128(tm), deg, kappa))
+    if disc is Discretization.SPLIT2A:
+        return np.arctan(np.abs(qq)) * np.exp(1j * np.angle(qq)) / eps_t
+    if disc is Discretization.SPLIT2_MODAL:
+        return qq / eps_t
+    raise ValueError(f"finvscatter supports 2SPLIT2A/2SPLIT2_MODAL, got {disc}")

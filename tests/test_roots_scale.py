@@ -127,6 +127,7 @@ def test_nsev_bound_states_d_2pow20():
     d = 1 << 20
     data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
     res = ft.nsev(jnp.asarray(data.q), data.t_span, m=0, kappa=+1)
-    got = np.sort_complex(np.asarray(res.bound_states))
+    got = np.asarray(res.bound_states)
     assert got.size == 3, got
+    got = got[np.argsort(got.imag)]  # real parts are pure noise
     np.testing.assert_allclose(got, data.bound_states, atol=1e-6)
