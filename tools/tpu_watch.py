@@ -42,6 +42,9 @@ from __graft_entry__ import _rho_pipeline
 
 cfg = json.loads('''{cfg}''')
 d, m, batch, reps = cfg['d'], cfg['m'], cfg['batch'], cfg['reps']
+if cfg.get('fused') is not None:
+    import fnft_tpu.ops.poly as _poly
+    _poly.set_fused_early_levels(cfg['fused'])
 t = np.linspace(-25.0, 25.0, d)
 if batch == 1:
     q = (1j * 3.2 / np.cosh(t)).astype(np.complex64)[None, :]
@@ -74,6 +77,34 @@ else:
 print('STAGE_JSON ' + json.dumps(rec))
 """
 
+DF64_STAGE = """
+import json, time
+import jax, jax.numpy as jnp, numpy as np
+from fnft_tpu.ops.df64_pipeline import nsev_contspec_df64
+
+cfg = json.loads('''{cfg}''')
+d = cfg['d']
+t = np.linspace(-25.0, 25.0, d)
+q = (1j * 3.2 / np.cosh(t)).astype(np.complex128)
+t0 = time.perf_counter()
+rho = nsev_contspec_df64(q, d=d, m=d, t_span=(-25.0, 25.0),
+                         xi_span=(-2.0, 2.0))
+compile_s = time.perf_counter() - t0
+best = float('inf')
+for _ in range(cfg['reps']):
+    t0 = time.perf_counter()
+    rho = nsev_contspec_df64(q, d=d, m=d, t_span=(-25.0, 25.0),
+                             xi_span=(-2.0, 2.0))
+    best = min(best, time.perf_counter() - t0)
+mid = float(np.abs(rho[d // 2]))
+rec = dict(cfg)
+rec.update(best_seconds=best, compile_seconds=compile_s, rho0_abs=mid,
+           platform=jax.devices()[0].platform,
+           accuracy_check_passed=bool(abs(mid - 0.7265425) < 5e-4),
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
 # expect_rho0: |rho(0)| of the Satsuma-Yajima A=3.2 sech
 STAGES = [
     dict(name="single_D4096", d=1 << 12, m=1 << 12, batch=1, reps=5,
@@ -86,6 +117,19 @@ STAGES = [
          expect_rho0=0.7265425),
     dict(name="batched64_D4096", d=1 << 12, m=1 << 12, batch=64, reps=3),
     dict(name="batched256_D4096", d=1 << 12, m=1 << 12, batch=256, reps=3),
+    # Pallas fused-level sweep at the headline size (fused=0 disables;
+    # None/absent = auto). Records which tree strategy wins on hardware.
+    dict(name="D1048576_fused0", d=1 << 20, m=1 << 20, batch=1, reps=3,
+         expect_rho0=0.7265425, fused=0),
+    dict(name="D1048576_fused1", d=1 << 20, m=1 << 20, batch=1, reps=3,
+         expect_rho0=0.7265425, fused=1),
+    dict(name="D1048576_fused3", d=1 << 20, m=1 << 20, batch=1, reps=3,
+         expect_rho0=0.7265425, fused=3),
+    dict(name="batched256_D4096_fused0", d=1 << 12, m=1 << 12, batch=256,
+         reps=3, fused=0),
+    # reference-accuracy df64 pipeline timings
+    dict(name="df64_D4096", d=1 << 12, reps=3, df64=True),
+    dict(name="df64_D65536", d=1 << 16, reps=2, df64=True),
 ]
 
 
@@ -136,7 +180,8 @@ def main() -> int:
                     continue
                 cfg = json.dumps(st)
                 tmo = 360 if st["d"] < (1 << 18) else 900
-                ok, out = run_py(STAGE.replace("{cfg}", cfg), tmo)
+                template = DF64_STAGE if st.get("df64") else STAGE
+                ok, out = run_py(template.replace("{cfg}", cfg), tmo)
                 line = next((ln for ln in out.splitlines()
                              if ln.startswith("STAGE_JSON ")), None)
                 if ok and line:
