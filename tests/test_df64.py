@@ -143,3 +143,29 @@ def test_df64_tree_beats_complex64_by_orders():
                            - np.asarray(r64))) / scale
     assert dev_df < 1e-11, dev_df
     assert dev_df < 1e-4 * max(dev_32, 1e-30)  # orders-of-magnitude win
+
+
+def test_df64_contspec_at_scale_d_2pow16():
+    """df64 contspec at D=2^16 with the full M=D grid stays at ~1e-12 of
+    the complex128 driver — the at-scale evidence for 'reference tolerance
+    on TPU' (gated: ~4 CPU-minutes; the roofline doc extrapolates 2^20)."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("FNFT_SLOW_TESTS"):
+        pytest.skip("set FNFT_SLOW_TESTS=1 to run (minutes on 1 CPU core)")
+    import fnft_tpu as ft
+    from fnft_tpu.ops.df64_pipeline import nsev_contspec_df64
+    from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+
+    d = 1 << 16
+    data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
+    rho = np.asarray(nsev_contspec_df64(jnp.asarray(data.q), d=d, m=d,
+                                        t_span=data.t_span,
+                                        xi_span=data.xi_span))
+    ref = np.asarray(ft.nsev(jnp.asarray(data.q), data.t_span, m=d,
+                             xi_span=data.xi_span, kappa=+1,
+                             want_bound_states=False).reflection_coefficient)
+    err = np.sum(np.abs(rho - ref)) / np.sum(np.abs(ref))
+    assert err < 1e-11, err

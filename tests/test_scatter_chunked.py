@@ -78,7 +78,7 @@ def test_full_spectrum_d_2pow16():
     np.testing.assert_allclose(bs[order], data.bound_states, atol=1e-7)
     # norming constants at the reference's exact values (+-i alternating)
     nc = np.asarray(res.norming_constants)[order]
-    np.testing.assert_allclose(nc, data.norming_constants, atol=1e-5)
+    np.testing.assert_allclose(nc, data.normconsts, atol=1e-5)
 
 
 def test_chunk_len_picker():
