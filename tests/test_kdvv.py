@@ -51,10 +51,27 @@ def _rect_case(d, ampl):
     return q, t_span, xi_span, rho
 
 
+# the full 2SPLITxy family at the reference's own per-scheme bounds
+# (test/fnft_kdvv/fnft_kdvv_test_sech_2splitXY.c, D=1024)
 @pytest.mark.parametrize("disc,bound", [
+    (ft.Discretization.SPLIT1A, 9.71e-3),
+    (ft.Discretization.SPLIT1B, 9.9e-3),
+    (ft.Discretization.SPLIT2A, 1.37e-4),
+    (ft.Discretization.SPLIT2B, 1.31e-4),
+    (ft.Discretization.SPLIT2S, 5.28e-4),
+    (ft.Discretization.SPLIT3A, 5.79e-5),
+    (ft.Discretization.SPLIT3B, 5.77e-5),
+    (ft.Discretization.SPLIT3S, 5.77e-5),
+    (ft.Discretization.SPLIT4A, 5.79e-5),
     (ft.Discretization.SPLIT4B, 5.78e-5),
+    (ft.Discretization.SPLIT5A, 5.78e-5),
+    (ft.Discretization.SPLIT5B, 5.78e-5),
+    (ft.Discretization.SPLIT6A, 5.78e-5),
+    (ft.Discretization.SPLIT6B, 5.78e-5),
+    (ft.Discretization.SPLIT7A, 5.78e-5),
+    (ft.Discretization.SPLIT7B, 5.78e-5),
+    (ft.Discretization.SPLIT8A, 5.78e-5),
     (ft.Discretization.SPLIT8B, 5.78e-5),
-    (ft.Discretization.SPLIT2A, 2e-3),
 ], ids=lambda v: str(getattr(v, "value", v)))
 def test_kdvv_sech(disc, bound):
     q, t_span, xi_span, rho_exact = _sech_case(1024)

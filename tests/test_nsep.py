@@ -89,6 +89,7 @@ def _run(case_fn, d, disc, main_bound, aux_bound, box_override=None):
     (ft.Discretization.SPLIT2A, 1024, 3.2e-4, 2.9e-4),
     (ft.Discretization.SPLIT2_MODAL, 1024, 3.5e-4, 3.1e-4),
     (ft.Discretization.SPLIT4B, 1024, 9.6e-5, 4.4e-5),
+    (ft.Discretization.SPLIT4A, 1024, 6.3e-5, 4.6e-5),
 ], ids=lambda v: str(getattr(v, "value", v)))
 def test_nsep_plane_wave_focusing(disc, d, mb, ab):
     _run(_plane_wave_case, d, disc, mb, ab)
@@ -103,7 +104,9 @@ def test_nsep_plane_wave_nonreal_only():
 
 @pytest.mark.parametrize("disc,d,mb,ab", [
     (ft.Discretization.SPLIT2A, 2048, 7.6e-5, 7.6e-8),
+    (ft.Discretization.SPLIT2_MODAL, 2048, 7.6e-5, 7.6e-8),
     (ft.Discretization.SPLIT4B, 1024, 7.6e-5, 2.5e-8),
+    (ft.Discretization.SPLIT4A, 512, 7.6e-5, 2.5e-8),
     (ft.Discretization.SPLIT4A4, 64, 6.8e-4, 1.3e-6),
 ], ids=lambda v: str(getattr(v, "value", v)))
 def test_nsep_constant_defocusing(disc, d, mb, ab):
