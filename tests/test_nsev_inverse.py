@@ -150,6 +150,26 @@ def test_b_of_xi_with_discrete_spectrum():
     assert err <= 6.3e-4, err
 
 
+def test_b_of_tau_with_discrete_spectrum():
+    """B(tau) + bound states (fnft_nsev_inverse_test_B_of_tau_w_discrete,
+    bound 0.00063 at D=512): same A=2.45 sech, contspec given in the
+    time-like representation B(tau) = i sin(pi A) sech(tau/2)/(2 pi)."""
+    d = 512
+    t_span = (-25.0, 25.0)
+    a_amp, t0 = 2.45, 0.0
+    t = np.linspace(*t_span, d)
+    q_exact = 1j * a_amp / np.cosh(t - t0)
+    btau = 1j / (2 * np.pi) * np.sin(np.pi * a_amp) \
+        / np.cosh((2 * t - 2 * t0) / 2)
+    bs = 1j * (a_amp - np.arange(2) - 0.5)
+    nc = np.array([1j, -1j])
+    opts = NsevInverseOpts(contspec_type=InverseContspecType.B_OF_TAU)
+    q = nsev_inverse(jnp.asarray(btau), None, d, t_span, kappa=+1,
+                     bound_states=bs, normconsts_or_residues=nc, opts=opts)
+    err = float(rel_err(q, jnp.asarray(q_exact)))
+    assert err <= 6.3e-4, err
+
+
 def test_roundtrip_with_discrete_spectrum():
     """Full spectrum round-trip: contspec + bound states of the A=3.4
     shifted sech (against_forward_w_discrete, bound 0.014 at D=512)."""
