@@ -350,7 +350,9 @@ def fmult2x2_tree_df64(p):
     (coefficients complex128, w int32) with the same 2^w normalization
     semantics as :func:`fnft_tpu.ops.poly.fmult2x2_tree`.
     """
-    from fnft_tpu.utils.misc import next_fft_length, next_power_of_2
+    # radix-2 df64 FFT: lengths must be powers of two regardless of backend
+    from fnft_tpu.utils.misc import next_power_of_2
+    next_fft_length = next_power_of_2
 
     p = jnp.asarray(p)
     n = p.shape[0]

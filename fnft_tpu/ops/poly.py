@@ -43,15 +43,21 @@ def _rescale_exponents(coeffs, axes) -> jnp.ndarray:
     return jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0).astype(jnp.int32)
 
 
-_DIRECT_CONV_CUTOFF = 16  # below this length, convolve directly (tiny FFTs
-                          # are launch/latency-bound on TPU; direct products
-                          # fuse into a handful of elementwise kernels)
+_DIRECT_CONV_CUTOFF: int | None = None  # None = auto (measured: 32 on CPU;
+                                        # 16 pending hardware sweep on TPU)
+
+
+def _conv_cutoff() -> int:
+    """Coefficient length below which direct convolution beats FFTs."""
+    if _DIRECT_CONV_CUTOFF is not None:
+        return _DIRECT_CONV_CUTOFF
+    return 32 if jax.default_backend() == "cpu" else 16
 
 
 def _matpoly_product(b, a):
     """(b @ a)(z) for two [..., 2, 2, c] stacks -> [..., 2, 2, 2c-1]."""
     c = a.shape[-1]
-    if c <= _DIRECT_CONV_CUTOFF:
+    if c <= _conv_cutoff():
         out = jnp.zeros(a.shape[:-1] + (2 * c - 1,), dtype=a.dtype)
         for s in range(c):
             out = out.at[..., s: s + c].add(
@@ -149,8 +155,12 @@ def fmult2x2_tree(p, *, normalize: bool = True):
     else:
         w = jnp.zeros(p.shape[:-4] + (n_pad,), dtype=jnp.int32) \
             if normalize else None
-    for _ in range(levels):
-        p, w = _tree_level_2x2(p, w, normalize)
+    for lv in range(levels):
+        # rescale every other level (and always the last): two levels of
+        # near-unitary products cannot overflow, and each skipped rescale
+        # saves two full passes over the coefficient array
+        do_norm = normalize and (lv % 2 == 1 or lv == levels - 1)
+        p, w = _tree_level_2x2(p, w, do_norm)
     result = p[..., 0, :, :, :]
     # identity padding contributes degree 0; true degree is n*deg_in
     result = result[..., : n * deg_in + 1]

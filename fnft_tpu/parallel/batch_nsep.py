@@ -32,7 +32,7 @@ from fnft_tpu.models.discretization import (
     degree,
     z_to_lambda,
 )
-from fnft_tpu.models.nsep import OVERSAMPLING, _auto_box, _monodromy_poly
+from fnft_tpu.models.nsep import _auto_box, _monodromy_poly
 from fnft_tpu.ops.fscatter import fscatter
 from fnft_tpu.ops.roots import aberth_roots, newton_polygon_init_jax
 from fnft_tpu.ops.scatter import scatter_matrix

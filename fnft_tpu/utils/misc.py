@@ -69,12 +69,32 @@ def next_power_of_2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
-def next_fft_length(n: int) -> int:
-    """Next efficient FFT length.
+def _next_fast_size(n: int) -> int:
+    """Smallest 2^a 3^b 5^c >= n (kiss_fft_next_fast_size semantics)."""
+    if n <= 1:
+        return 1
+    while True:
+        m = n
+        for p in (2, 3, 5):
+            while m % p == 0:
+                m //= p
+        if m == 1:
+            return n
+        n += 1
 
-    XLA's FFT is happiest on powers of two (TPU), so unlike the reference's
-    kiss_fft_next_fast_size (2^a 3^b 5^c) we round up to a power of two.
+
+def next_fft_length(n: int) -> int:
+    """Next efficient FFT length for the active backend.
+
+    TPU XLA wants powers of two; the CPU backend (pocketfft) handles
+    mixed-radix 2^a 3^b 5^c sizes efficiently — matching the reference's
+    kiss_fft_next_fast_size and cutting the fmult tree's FFT work by up
+    to ~2x versus always rounding to a power of two.
     """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return _next_fast_size(int(n))
     return next_power_of_2(n)
 
 
