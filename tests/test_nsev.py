@@ -52,6 +52,13 @@ CASES = [
      (9.7e-2, 4.8e-2, 1.7e-2, 2.5e-2, 3.2e-11, 4.7e-2), True, False),
     (TC.SECH_FOCUSING2, D_.TES4, 1024,
      (7.7e-3, 3.8e-3, 1.2e-3, 1.2e-3, 3.2e-11, 4.8e-2), True, False),
+    # Richardson-extrapolated variants at the reference's error_bounds_RE
+    (TC.SECH_FOCUSING2, D_.CF4_2, 512,
+     (8.8e-4, 1.2e-4, 5.6e-5, 8.8e-5, 5e-14, 9.8e-5), True, True),
+    (TC.SECH_FOCUSING2, D_.CF5_3, 701,
+     (3e-6, 1.5e-6, 4.5e-7, 1.6e-6, 1.8e-5, 1.7e-5), True, True),
+    (TC.SECH_FOCUSING2, D_.TES4, 1024,
+     (1.1e-3, 1.6e-4, 5.6e-5, 5.5e-5, 5e-14, 3.9e-2), True, True),
     (TC.SECH_DEFOCUSING, D_.SPLIT2A, 4096,
      (2.2e-4, None, None, None, None, None), False, False),
     (TC.SECH_DEFOCUSING, D_.SPLIT2_MODAL, 4096,
