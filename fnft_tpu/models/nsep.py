@@ -262,6 +262,8 @@ def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
         polys.append(p_all)
     if want_aux:
         polys.append(tm[0, 1][None, :])
+    if not polys:  # e.g. MIXED with kappa=-1 and want_aux=False
+        return None, None, box
     roots_all = poly_roots_batched(jnp.concatenate(polys, axis=0))
     lam_all = np.asarray(
         z_to_lambda(roots_all.reshape(-1), eps_t_sub, disc)

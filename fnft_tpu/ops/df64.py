@@ -292,7 +292,9 @@ def fft_df64(z, length: int, *, inverse: bool = False):
             grp = idx & (m - 1)              # position within the half-block
             is_hi = (idx & m) != 0
             partner = jnp.where(is_hi, idx - m, idx + m)
-            tw_idx = grp * (n // 2) // m
+            # (n//2)//m first: grp * (n//2) overflows int32 for n >= 2^17
+            # (x64-off mode); m = 2^s always divides n//2 so this is exact
+            tw_idx = grp * ((n // 2) // m)
             twr = (tw_full[0][0][tw_idx], tw_full[0][1][tw_idx])
             twi = (tw_full[1][0][tw_idx], tw_full[1][1][tw_idx])
             a = jax.tree.map(lambda t: jnp.where(

@@ -48,28 +48,16 @@ def _slice_c(z, sl):
 
 
 def _polymatmul_df64(a, b, out_len=None):
-    """(a @ b)(z) for cdf [..., 2, 2, ca] x [..., 2, 2, cb]."""
-    ca = a[0][0].shape[-1]
-    cb = b[0][0].shape[-1]
-    n_out = ca + cb - 1
-    length = next_fft_length(n_out)
-    fa = fft_df64(_pad_to(a, length), length)
-    fb = fft_df64(_pad_to(b, length), length)
+    """(a @ b)(z) for cdf [..., 2, 2, ca] x [..., 2, 2, cb].
 
-    rows = []
-    for i in range(2):
-        cols = []
-        for j in range(2):
-            acc = None
-            for k in range(2):
-                term = cdf_mul(
-                    _cdf_index(fa, (Ellipsis, i, k, slice(None))),
-                    _cdf_index(fb, (Ellipsis, k, j, slice(None))))
-                acc = term if acc is None else cdf_add(acc, term)
-            cols.append(acc)
-        rows.append(jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *cols))
-    fc = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-3), *rows)
-    out = fft_df64(fc, length, inverse=True)
+    Thin wrapper over the canonical FFT-domain product in ops.df64
+    (first argument there is the LEFT factor), plus the output-length
+    slice the peel needs.
+    """
+    from fnft_tpu.ops.df64 import _matpoly_product_df64
+
+    n_out = a[0][0].shape[-1] + b[0][0].shape[-1] - 1
+    out = _matpoly_product_df64(a, b, next_fft_length(n_out))
     return _slice_c(out, slice(0, out_len if out_len is not None else n_out))
 
 

@@ -223,27 +223,10 @@ def _direct_level_df64(a, b, c: int):
 
 
 def _fft_level_df64(a, b, c: int):
-    length = next_fft_length(2 * c - 1)
-    fa = fft_df64(jax.tree.map(
-        lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1)
-                          + [(0, length - t.shape[-1])]), a), length)
-    fb = fft_df64(jax.tree.map(
-        lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1)
-                          + [(0, length - t.shape[-1])]), b), length)
+    """(b @ a) per pair via the canonical FFT-domain product in ops.df64."""
+    from fnft_tpu.ops.df64 import _matpoly_product_df64
 
-    def entry(i, j):
-        t0 = cdf_mul(_cdf_index(fb, (Ellipsis, i, 0, slice(None))),
-                     _cdf_index(fa, (Ellipsis, 0, j, slice(None))))
-        t1 = cdf_mul(_cdf_index(fb, (Ellipsis, i, 1, slice(None))),
-                     _cdf_index(fa, (Ellipsis, 1, j, slice(None))))
-        return cdf_add(t0, t1)
-
-    rows = []
-    for i in range(2):
-        cols = [entry(i, j) for j in range(2)]
-        rows.append(jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *cols))
-    fc = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-3), *rows)
-    prod = fft_df64(fc, length, inverse=True)
+    prod = _matpoly_product_df64(b, a, next_fft_length(2 * c - 1))
     return _cdf_index(prod, (Ellipsis, slice(0, 2 * c - 1)))
 
 
@@ -407,15 +390,22 @@ def nsev_contspec_df64(q128, *, d: int, m: int, t_span, xi_span,
     (vmapped into the same program). Returns rho [..., m] complex128.
     """
     enable_compilation_cache()
-    q128 = jnp.asarray(q128)
+    # split on the HOST (numpy): jnp.asarray would truncate complex128 to
+    # complex64 whenever jax x64 is off (the TPU mode), zeroing every lo
+    # plane and silently degrading the pipeline to f32 input accuracy
+    q128 = np.asarray(q128, dtype=np.complex128)
+    if d != q128.shape[-1]:
+        raise ValueError(f"d={d} does not match signal length "
+                         f"{q128.shape[-1]}")
+    if d < 2 or d & (d - 1):
+        raise ValueError("D must be a positive power of two")
     t_span = (float(t_span[0]), float(t_span[1]))
     xi_span = (float(xi_span[0]), float(xi_span[1]))
-    core = partial(_contspec_df64_core, d=d, m=m, t_span=t_span,
-                   xi_span=xi_span, kappa=kappa, disc=disc)
-    if q128.ndim == 2:
-        num, h11 = jax.vmap(core)(cdf_from_c128(q128))
-    else:
-        num, h11 = core(cdf_from_c128(q128))
+    # batching is handled INSIDE the core (eager per-row loop on CPU,
+    # vmapped stages on accelerators) — do not vmap here
+    num, h11 = _contspec_df64_core(cdf_from_c128(q128), d=d, m=m,
+                                   t_span=t_span, xi_span=xi_span,
+                                   kappa=kappa, disc=disc)
     # rho = num / h11: single complex128 divide at the host boundary
     return cdf_to_c128(num) / cdf_to_c128(h11)
 
@@ -472,6 +462,11 @@ def nsev_boundstates_df64(q128, *, d: int, t_span, kappa: int = +1,
         raise ValueError("bound states require kappa=+1")
     enable_compilation_cache()
     q128 = np.asarray(q128, dtype=np.complex128)
+    if d != q128.shape[-1]:
+        raise ValueError(f"d={d} does not match signal length "
+                         f"{q128.shape[-1]}")
+    if d < 2 or d & (d - 1):
+        raise ValueError("D must be a positive power of two")
     t0, t1 = float(t_span[0]), float(t_span[1])
     eps_t = (t1 - t0) / (d - 1)
 

@@ -184,10 +184,23 @@ def make_batched_nsep_fn(d: int, t_span, *, kappa: int = +1,
     return fn
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _cached_nsep_fn(d, t_span, kappa, disc, mesh, kw_items):
+    return make_batched_nsep_fn(d, t_span, kappa=kappa, disc=disc,
+                                mesh=mesh, **dict(kw_items))
+
+
 def batched_nsep(q_batch, t_span, *, phase_shifts=None, kappa: int = +1,
                  disc: Discretization = Discretization.SPLIT2A,
                  mesh=None, **kw) -> BatchedNsepResult:
-    """Main/aux spectra of a batch of periodic signals (masked results)."""
+    """Main/aux spectra of a batch of periodic signals (masked results).
+
+    The compiled program is cached per (D, t_span, config), so repeated
+    serving calls reuse one jitted executable.
+    """
     q_batch = jnp.asarray(q_batch)
     b, d = q_batch.shape
     if phase_shifts is None:
@@ -195,8 +208,11 @@ def batched_nsep(q_batch, t_span, *, phase_shifts=None, kappa: int = +1,
     else:
         t0, t1 = float(t_span[0]), float(t_span[1])
         shifts = jnp.asarray(phase_shifts) / (-2.0 * (t1 - t0))
-    fn = make_batched_nsep_fn(d, t_span, kappa=kappa, disc=disc, mesh=mesh,
-                              **kw)
+    kw_items = tuple(sorted(
+        (k, tuple(v) if isinstance(v, (list, tuple)) else v)
+        for k, v in kw.items()))
+    fn = _cached_nsep_fn(d, (float(t_span[0]), float(t_span[1])), kappa,
+                         disc, mesh, kw_items)
     main, mmask, aux, amask = fn(q_batch, shifts)
     return BatchedNsepResult(main_spectrum=main, main_mask=mmask,
                              aux_spectrum=aux, aux_mask=amask)

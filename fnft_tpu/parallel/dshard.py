@@ -195,13 +195,7 @@ def dshard_contspec_reference(q, d: int, t_span, m: int, xi_span, *,
         mine_right = jnp.einsum("...ik,...kj->...ij", v_in, v)
         sel = upper[:, None, None, None]
         v = jnp.where(sel, mine_left, mine_right)
-        w = w + w_in
-        max_abs = jnp.max(jnp.abs(v), axis=(-3, -2, -1))
-        safe = jnp.where(max_abs > 0, max_abs, 1.0)
-        a_exp = jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0)
-        a_exp = a_exp.astype(jnp.int32)
-        v = v * jnp.exp2(-a_exp.astype(jnp.real(v).dtype))[..., None, None, None]
-        w = w + a_exp
+        v, w = _value_renorm(v, w + w_in)
     v0 = jnp.take(v, 0, axis=-4)
     w0 = jnp.take(w, 0, axis=-1)
     h11, h21 = v0[..., 0, 0], v0[..., 1, 0]

@@ -169,3 +169,67 @@ def test_df64_contspec_at_scale_d_2pow16():
                              want_bound_states=False).reflection_coefficient)
     err = np.sum(np.abs(rho - ref)) / np.sum(np.abs(ref))
     assert err < 1e-11, err
+
+
+def test_df64_fft_large_n_x64_off_subprocess():
+    """Regression: the loop-FFT twiddle index grp*(n//2)//m overflowed
+    int32 for n >= 2^17 when jax x64 is off (the TPU mode), silently
+    corrupting every large df64 FFT. Verified in a subprocess with x64
+    disabled (the suite itself runs with x64 on, which hid the bug)."""
+    import subprocess
+    import sys
+
+    code = """
+import jax; jax.config.update('jax_platforms', 'cpu')
+import numpy as np, jax.numpy as jnp
+from fnft_tpu.ops.df64 import cdf_from_c128, cdf_to_c128, fft_df64
+n = 1 << 17
+rng = np.random.default_rng(0)
+z = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex128)
+out = np.asarray(cdf_to_c128(fft_df64(cdf_from_c128(z), n)))
+ref = np.fft.fft(z)
+err = np.max(np.abs(out - ref)) / np.max(np.abs(ref))
+assert err < 1e-12, err
+print('OK', err)
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600, cwd="/root/repo")
+    assert r.returncode == 0 and "OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_df64_contspec_x64_off_subprocess():
+    """Regression: nsev_contspec_df64 used jnp.asarray on its complex128
+    input, which truncates to complex64 when jax x64 is off (the TPU
+    mode) and zeroes every lo plane — capping accuracy at ~1e-7. With the
+    host-side split the x64-off pipeline must match the x64 complex128
+    driver to ~1e-12."""
+    import subprocess
+    import sys
+
+    import fnft_tpu as ft
+    from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+
+    d = 256
+    data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
+    ref = np.asarray(ft.nsev(jnp.asarray(data.q), data.t_span, m=d,
+                             xi_span=data.xi_span, kappa=+1,
+                             want_bound_states=False).reflection_coefficient)
+    np.save("/tmp/df64_x64off_ref.npy", ref)
+
+    code = f"""
+import jax; jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+from fnft_tpu.ops.df64_pipeline import nsev_contspec_df64
+from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+assert not jax.config.jax_enable_x64
+data = nsev_testcase(NsevTestcase.SECH_FOCUSING, {d})
+rho = nsev_contspec_df64(data.q, d={d}, m={d}, t_span=data.t_span,
+                         xi_span=data.xi_span)
+ref = np.load('/tmp/df64_x64off_ref.npy')
+err = np.sum(np.abs(rho - ref)) / np.sum(np.abs(ref))
+assert err < 1e-11, err
+print('OK', err)
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=900, cwd="/root/repo")
+    assert r.returncode == 0 and "OK" in r.stdout, r.stdout + r.stderr

@@ -162,3 +162,13 @@ def test_nsep_quasiperiodic_phase_shift():
     ms_g = _remove(_filter(np.asarray(res.main_spectrum), BOX), rbox)
     em = float(hausdorff_dist(ms_g, ms_e))
     assert em <= 5e-4, em
+
+
+def test_nsep_defocusing_main_only_no_crash():
+    """Regression: MIXED localization with kappa=-1 and want_aux=False
+    left the batched root solve with zero polynomials and crashed on
+    jnp.concatenate([]); it must return the gridsearch main spectrum."""
+    q = np.full(64, 1.0, complex)
+    r = ft.nsep(jnp.asarray(q), (0.0, 2 * np.pi), kappa=-1, want_aux=False)
+    assert r.aux_spectrum is None
+    assert r.main_spectrum is not None
