@@ -6,11 +6,15 @@ Convenience namespace re-exporting the float32-pair pipelines:
 >>> rho = df64.nsev_contspec(q, d=4096, m=4096, t_span=..., xi_span=...)
 >>> lam = df64.nsev_boundstates(q, d=4096, t_span=...)
 >>> q = df64.finvscatter(transfer_matrix, eps_t, kappa)
+>>> q = df64.nsev_inverse(rho, xi_span, d, t_span, kappa=-1)
 
 See docs/performance.md ("Precision") for measured accuracy and cost.
 """
 
-from fnft_tpu.ops.df64_inverse import finvscatter_df64 as finvscatter  # noqa: F401
+from fnft_tpu.ops.df64_inverse import (  # noqa: F401
+    finvscatter_df64 as finvscatter,
+    nsev_inverse_df64 as nsev_inverse,
+)
 from fnft_tpu.ops.df64_pipeline import (  # noqa: F401
     enable_compilation_cache,
     nsev_boundstates_df64 as nsev_boundstates,

@@ -179,3 +179,82 @@ def finvscatter_df64(transfer_matrix, eps_t: float, kappa: int,
     if disc is Discretization.SPLIT2_MODAL:
         return qq / eps_t
     raise ValueError(f"finvscatter supports 2SPLIT2A/2SPLIT2_MODAL, got {disc}")
+
+
+def _output_map(qq, eps_t: float, disc: Discretization):
+    """Per-sample output map, host-side float64 (see module docstring)."""
+    if disc is Discretization.SPLIT2A:
+        return np.arctan(np.abs(qq)) * np.exp(1j * np.angle(qq)) / eps_t
+    if disc is Discretization.SPLIT2_MODAL:
+        return qq / eps_t
+    raise ValueError(f"finvscatter supports 2SPLIT2A/2SPLIT2_MODAL, got {disc}")
+
+
+def nsev_inverse_df64(contspec, xi_span, d: int, t_span, *, kappa: int = +1,
+                      disc: Discretization = Discretization.SPLIT2A):
+    """End-to-end inverse NFT (continuous spectrum only) in df64.
+
+    The reflection-coefficient transfer matrix of the reference's DEFAULT
+    method (fnft_nsev_inverse.c:302-370) is transcendental-free: boundary
+    phases are static host constants, the reorder/index maps are static
+    gathers, B(z) comes from one M-point FFT, and A(z) := 1. Everything
+    data-dependent runs in float32-pair arithmetic; output accuracy
+    matches the complex128 driver to ~1e-12 where complex64 errs ~1e-6.
+
+    ``contspec`` is rho on the canonical xi grid
+    (models.nsev_inverse.nsev_inverse_xi_grid); M must be a power of two
+    (the df64 FFT is radix-2) with M >= D.
+    """
+    from fnft_tpu.models import nse
+    from fnft_tpu.ops.df64 import _cdf_stack
+
+    cs = np.asarray(contspec, dtype=np.complex128)
+    m = cs.shape[-1]
+    if d < 2 or d & (d - 1):
+        raise ValueError("D must be a positive power of two")
+    if m < d or m & (m - 1):
+        raise ValueError("M must be a power of two >= D (df64 radix-2 FFT)")
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    eps_t = (t1 - t0) / (d - 1)
+    deg = d * degree(disc)
+
+    # host: exact complex128 phase strip + FFT reorder (static constants)
+    eps_xi = (xi1 - xi0) / (m - 1)
+    xi = xi0 + eps_xi * np.arange(m)
+    pf = float(nse.phase_factor_rho(eps_t, t1, disc))
+    weighted = cs * np.exp(-1j * xi * pf)
+    reordered = np.concatenate([weighted[m // 2 - 1:], weighted[: m // 2 - 1]])
+
+    b_fft = fft_df64(cdf_from_c128(reordered), m)
+
+    # descending-order B blocks via static gathers (reference :344-358);
+    # 1/m is a power of two, so the scale is exact in f32
+    idx = np.arange(deg + 1)
+    i0 = 0 if deg <= m - 1 else deg - (m - 1)
+    valid = jnp.asarray(idx >= i0)
+    g21 = jnp.asarray((deg - idx) % m)
+    g12 = jnp.asarray((m - 1 - deg + idx) % m)
+    inv_m = np.float32(1.0 / m)
+
+    def take(plane, g):
+        return jnp.where(valid, plane[g], 0.0) * inv_m
+
+    tm21 = ((take(b_fft[0][0], g21), take(b_fft[0][1], g21)),
+            (take(b_fft[1][0], g21), take(b_fft[1][1], g21)))
+    # -kappa * conj(.)
+    tm12 = ((-kappa * take(b_fft[0][0], g12), -kappa * take(b_fft[0][1], g12)),
+            (kappa * take(b_fft[1][0], g12), kappa * take(b_fft[1][1], g12)))
+    delta_deg = jnp.zeros(deg + 1, jnp.float32).at[deg].set(1.0)
+    delta_0 = jnp.zeros(deg + 1, jnp.float32).at[0].set(1.0)
+    zeros = jnp.zeros(deg + 1, jnp.float32)
+    tm11 = ((delta_deg, zeros), (zeros, zeros))                 # A(z) = 1
+    tm22 = ((delta_0, zeros), (zeros, zeros))                   # z^deg
+
+    rows = [_cdf_stack([tm11, tm12], axis=-2),
+            _cdf_stack([tm21, tm22], axis=-2)]
+    tm_desc = _cdf_stack(rows, axis=-3)                         # [2, 2, c]
+    tm_asc = _slice_c(tm_desc, slice(None, None, -1))
+
+    qq = cdf_to_c128(_finvscatter_core_df64(tm_asc, deg, kappa))
+    return _output_map(qq, eps_t, disc)

@@ -66,3 +66,25 @@ def test_df64_finvscatter_modal():
     q_df64 = finvscatter_df64(np.asarray(tm), eps_t, -1,
                               Discretization.SPLIT2_MODAL)
     assert np.max(np.abs(q_df64 - q_c128)) < 5e-12
+
+
+def test_df64_end_to_end_inverse():
+    """rho -> q entirely through the df64 inverse (phase strip + B(z) FFT
+    + layer peel): matches the complex128 driver to ~2e-13."""
+    from fnft_tpu.models.nsev_inverse import (nsev_inverse,
+                                              nsev_inverse_xi_grid)
+    from fnft_tpu.ops.df64_inverse import nsev_inverse_df64
+
+    d, m = 128, 256
+    t_span = (-12.0, 12.0)
+    xi_span = nsev_inverse_xi_grid(d, t_span, m)
+    t = np.linspace(*t_span, d)
+    q0 = (0.8 / np.cosh(t)).astype(complex)
+    fw = ft.nsev(jnp.asarray(q0), t_span, m=m, xi_span=xi_span, kappa=-1,
+                 want_bound_states=False)
+    rho = np.asarray(fw.reflection_coefficient)
+    q_c128 = np.asarray(nsev_inverse(jnp.asarray(rho), xi_span, d, t_span,
+                                     kappa=-1))
+    q_df = nsev_inverse_df64(rho, xi_span, d, t_span, kappa=-1)
+    assert np.max(np.abs(q_df - q_c128)) < 5e-12
+    assert np.max(np.abs(q_df - q0)) < 0.05  # discretization error only
