@@ -6,8 +6,8 @@ float32-PAIR arithmetic (Dekker/Knuth error-free transformations) and
 matches the complex128 CPU results to ~1e-13 — from ops that run
 unmodified on the TPU's VPU.
 
-Surfaces demonstrated: continuous spectrum, bound states, and the fast
-inverse-scattering layer peel.
+Surfaces demonstrated: continuous spectrum, bound states, and the
+end-to-end inverse (rho -> q).
 """
 
 import numpy as np
@@ -42,6 +42,20 @@ def main():
 
     lam = nsev_boundstates_df64(q, d=d, t_span=t_span)
     print("bound states (df64):", np.sort(lam.imag))
+
+    # inverse: rho -> q entirely in df64 (defocusing, contspec-only)
+    from fnft_tpu import df64
+    from fnft_tpu.models.nsev_inverse import nsev_inverse_xi_grid
+
+    d2, m2 = 256, 512
+    xi2 = nsev_inverse_xi_grid(d2, t_span, m2)
+    t2 = np.linspace(*t_span, d2)
+    qd = 0.8 / np.cosh(t2) + 0j
+    rho2 = ft.nsev(jnp.asarray(qd), t_span, m=m2, xi_span=xi2, kappa=-1,
+                   want_bound_states=False).reflection_coefficient
+    q_rec = df64.nsev_inverse(np.asarray(rho2), xi2, d2, t_span, kappa=-1)
+    print(f"df64 inverse round-trip max |q_rec - q| = "
+          f"{np.max(np.abs(q_rec - qd)):.2e} (discretization error)")
 
 
 if __name__ == "__main__":
