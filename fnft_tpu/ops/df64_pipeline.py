@@ -493,3 +493,49 @@ def nsev_boundstates_df64(q128, *, d: int, t_span, kappa: int = +1,
     z = _polish_stage_df64(tm00, cdf_from_c128(z0), iters=iters)
     z128 = cdf_to_c128(z)
     return np.log(z128) * (deg1 / (2j * eps_t))
+
+
+def kdvv_contspec_df64(u128, *, d: int, m: int, t_span, xi_span,
+                       disc: Discretization = Discretization.SPLIT4B):
+    """KdV reflection coefficient at reference accuracy (float32 pairs).
+
+    r = -1 maps KdV onto the AKNS system (fnft__kdv_fscatter.c:75-76);
+    the transfer matrix entries H12/H22 are chirp-evaluated on the
+    negated xi grid in df64 and the KdV rho formula
+    (fnft_kdvv.c:126-209) is applied on the host in float64 (the 2^w
+    normalization cancels in the ratio).
+    """
+    enable_compilation_cache()
+    u128 = np.asarray(u128, dtype=np.complex128)
+    if d != u128.shape[-1]:
+        raise ValueError(f"d={d} does not match signal length "
+                         f"{u128.shape[-1]}")
+    if d < 2 or d & (d - 1):
+        raise ValueError("D must be a positive power of two")
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    eps_t = (t1 - t0) / (d - 1)
+    eps_xi = (xi1 - xi0) / (m - 1)
+    deg1 = max(degree(disc), 1)
+
+    u_cdf = cdf_from_c128(u128)
+    ones = jnp.ones(d, jnp.float32)
+    zeros = jnp.zeros(d, jnp.float32)
+    r_cdf = ((-ones, zeros), (zeros, zeros))           # r = -1
+
+    p = transfer_matrix_coeffs_df64(u_cdf, r_cdf, eps_t, disc)
+    tm, _ = _tree_stage_df64(p, n_true=d, deg_in=degree(disc))
+
+    a_pt = complex(np.exp(-2j * xi0 * eps_t / deg1))
+    w_pt = complex(np.exp(-2j * eps_xi * eps_t / deg1))
+    h12 = cdf_to_c128(_chirpz_df64(
+        _cdf_index(tm, (0, 1, slice(None))), a_pt, w_pt, m))
+    h22 = cdf_to_c128(_chirpz_df64(
+        _cdf_index(tm, (1, 1, slice(None))), a_pt, w_pt, m))
+
+    xi_neg = -(xi0 + eps_xi * np.arange(m))
+    if disc is Discretization.SPLIT2A:
+        h12 = h12 / np.exp(1j * xi_neg * (eps_t / deg1))
+    num = np.exp(2j * xi_neg * (t1 + 0.5 * eps_t)) * h12
+    den = 2j * xi_neg * h22 - h12
+    return num / den

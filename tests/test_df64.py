@@ -233,3 +233,21 @@ print('OK', err)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=900, cwd="/root/repo")
     assert r.returncode == 0 and "OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_df64_kdvv_contspec():
+    """KdV reflection coefficient in df64 matches the complex128 driver
+    to ~5e-14 (complex64: ~3e-6) — the precision layer covers both
+    equation families."""
+    import fnft_tpu as ft
+    from fnft_tpu.ops.df64_pipeline import kdvv_contspec_df64
+
+    d, m = 1024, 16
+    t_span, xi_span = (-10.0, 10.0), (0.1, 3.0)
+    t = np.linspace(*t_span, d)
+    u = (3.2 / np.cosh(t) ** 2).astype(complex)
+    opts = ft.KdvvOpts(discretization=ft.Discretization.SPLIT4B)
+    ref = np.asarray(ft.kdvv(jnp.asarray(u), t_span, m=m, xi_span=xi_span,
+                             opts=opts).reflection_coefficient)
+    rho = kdvv_contspec_df64(u, d=d, m=m, t_span=t_span, xi_span=xi_span)
+    assert np.sum(np.abs(rho - ref)) / np.sum(np.abs(ref)) < 1e-12
