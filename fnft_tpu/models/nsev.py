@@ -133,7 +133,8 @@ def _apply_phase_factors(h11, h21, w, eps_t, t0, t1, d_given, xi0, xi1, m,
         pf = nse.phase_factor_rho(eps_t, t1, disc)
         out["rho"] = h21 * jnp.exp(1j * xi * pf) / h11
     if contspec_type in (ContspecType.AB, ContspecType.BOTH):
-        scale = jnp.exp2(w.astype(rdt))
+        # ldexp, not exp2: exact 2^w (XLA:CPU exp2 errs ~1e-6 in f32)
+        scale = jnp.ldexp(jnp.asarray(1.0, rdt), w)
         pfa = nse.phase_factor_a(eps_t, d_given, t0, t1, disc)
         pfb = nse.phase_factor_b(eps_t, d_given, t0, t1, disc)
         out["a"] = h11 * scale * jnp.exp(1j * xi * pfa)

@@ -381,9 +381,141 @@ def fmult2x2_tree_df64(p):
         max_abs = jnp.max(hi_mag, axis=(-3, -2, -1))
         safe = jnp.where(max_abs > 0, max_abs, 1.0)
         a_exp = jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0)
-        scale = jnp.exp2(-a_exp)[..., None, None, None].astype(jnp.float32)
+        scale = jnp.ldexp(jnp.float32(1.0),
+                          -a_exp.astype(jnp.int32))[..., None, None, None]
         z = jax.tree.map(lambda t: t * scale, prod)
         w = w[0::2] + w[1::2] + a_exp.astype(jnp.int32)
         c = 2 * c - 1
     out = cdf_to_c128(_cdf_index(z, (0,)))
     return out[..., : n * deg_in + 1], w[0]
+
+
+# ---------------------------------------------------------------------------
+# df64 elementary functions (double-double libm subset for specfact)
+# ---------------------------------------------------------------------------
+
+def _df_const(val: float, like):
+    v32 = np.float32(val)
+    return (jnp.full_like(like, v32),
+            jnp.full_like(like, np.float32(np.float64(val)
+                                           - np.float64(v32))))
+
+
+def _df_poly_eval(r, consts):
+    """Horner sum of host-float64 constants over a df argument."""
+    acc = _df_const(consts[-1], r[0])
+    for c in reversed(consts[:-1]):
+        acc = df_add(df_mul(acc, r), _df_const(c, r[0]))
+    return acc
+
+
+_EXP_TERMS = [1.0 / math.factorial(k) for k in range(14)]
+
+
+def df_exp(x):
+    """e^x for real df pairs (|result exponent| < 127)."""
+    ln2 = float(np.log(np.float64(2.0)))
+    n = jnp.round(x[0] / np.float32(ln2))
+    r = df_sub(x, df_mul((n, jnp.zeros_like(n)), _df_const(ln2, n)))
+    er = _df_poly_eval(r, _EXP_TERMS)
+    s = jnp.ldexp(jnp.float32(1.0), n.astype(jnp.int32))  # exact 2^n
+    return (er[0] * s, er[1] * s)
+
+
+def df_log(x):
+    """ln(x) for positive real df pairs: f32 seed + one exp-based Newton."""
+    y0 = jnp.log(jnp.maximum(x[0], jnp.finfo(jnp.float32).tiny))
+    e = df_exp((-y0, jnp.zeros_like(y0)))
+    t = df_mul(x, e)                       # = x / e^{y0} ~ 1 + delta
+    corr = df_add(t, _df_const(-1.0, y0))
+    # ln(1+delta) ~ delta - delta^2/2 (delta ~ 1e-7: quadratic term 5e-15)
+    half_d2 = df_mul(df_mul(corr, corr), _df_const(-0.5, y0))
+    return df_add((y0, jnp.zeros_like(y0)), df_add(corr, half_d2))
+
+
+def df_log1p(x):
+    return df_log(df_add(_df_const(1.0, x[0]), x))
+
+
+_SIN_TERMS = [(-1.0) ** k / math.factorial(2 * k + 1) for k in range(9)]
+_COS_TERMS = [(-1.0) ** k / math.factorial(2 * k) for k in range(9)]
+
+
+def df_sincos(x):
+    """(sin x, cos x) for real df pairs via pi/2 quadrant reduction."""
+    half_pi = float(np.pi / 2)
+    n = jnp.round(x[0] / np.float32(half_pi))
+    r = df_sub(x, df_mul((n, jnp.zeros_like(n)), _df_const(half_pi, n)))
+    r2 = df_mul(r, r)
+    s = df_mul(r, _df_poly_eval(r2, _SIN_TERMS))
+    c = _df_poly_eval(r2, _COS_TERMS)
+    quad = jnp.mod(n, 4.0)
+
+    def pick(q0, q1, q2, q3):
+        return (jnp.select([quad == 0, quad == 1, quad == 2], 
+                           [q0[0], q1[0], q2[0]], q3[0]),
+                jnp.select([quad == 0, quad == 1, quad == 2],
+                           [q0[1], q1[1], q2[1]], q3[1]))
+
+    neg = df_neg
+    sin_out = pick(s, c, neg(s), neg(c))
+    cos_out = pick(c, neg(s), neg(c), s)
+    return sin_out, cos_out
+
+
+def poly_specfact_df64(coeffs, *, oversampling_factor: int = 32,
+                       kappa: int = 0):
+    """Kolmogorov spectral factorization in df64 (cf. ops.specfact).
+
+    complex128 in/out; log-magnitude -> Hilbert transform -> exp all run
+    in float32-pair arithmetic (df_log/df_exp/df_sincos), FFTs via
+    fft_df64 on a power-of-two oversampled grid. Matches the complex128
+    implementation to ~1e-12.
+    """
+    from fnft_tpu.utils.misc import next_power_of_2
+
+    c128 = np.asarray(coeffs, dtype=np.complex128)
+    deg = c128.shape[-1] - 1
+    m = next_power_of_2((deg + 1) * oversampling_factor)
+
+    vals = fft_df64(cdf_from_c128(np.concatenate(
+        [c128[::-1], np.zeros(m - deg - 1, np.complex128)])), m)
+    re, im = vals
+    abs2 = df_add(df_mul(re, re), df_mul(im, im))
+    tol = math.sqrt(2.220446049250313e-16)  # sqrt(f64 eps), ref semantics
+    half = (jnp.full_like(abs2[0], 0.5), jnp.zeros_like(abs2[0]))
+
+    def clamp(v, lo):
+        keep = v[0] > lo
+        return (jnp.where(keep, v[0], np.float32(lo)),
+                jnp.where(keep, v[1], np.float32(lo - np.float64(np.float32(lo)))))
+
+    if kappa == 0:
+        x = df_mul(half, df_log(clamp(abs2, (tol * tol) ** 2)))
+    elif kappa == -1:
+        x = df_mul(half, df_log1p(abs2))
+    elif kappa == 1:
+        one = (jnp.ones_like(abs2[0]), jnp.zeros_like(abs2[0]))
+        x = df_mul(half, df_log(clamp(df_sub(one, abs2), tol * tol)))
+    else:
+        raise ValueError("kappa must be -1, 0 or +1")
+
+    zero = jnp.zeros_like(x[0])
+    xf = fft_df64((x, (zero, zero)), m)
+    sgn = np.concatenate([[0.0], -np.ones(m // 2 - 1), [0.0],
+                          np.ones(m - m // 2 - 1)]).astype(np.float32)
+    sgn_j = jnp.asarray(sgn)
+    # multiply by i*sgn: (re, im) -> (-sgn*im, sgn*re); sgn in {-1,0,1} exact
+    rotated = ((-sgn_j * xf[1][0], -sgn_j * xf[1][1]),
+               (sgn_j * xf[0][0], sgn_j * xf[0][1]))
+    y = fft_df64(rotated, m, inverse=True)
+    yr, yi = y
+
+    # freq = exp(x - i y) = exp(x + yi) * (cos yr - i sin yr)
+    mag = df_exp(df_add(x, yi))
+    s_, c_ = df_sincos(yr)
+    freq = ((df_mul(mag, c_)[0], df_mul(mag, c_)[1]),
+            ((lambda t: (-t[0], -t[1]))(df_mul(mag, s_))))
+    factor = fft_df64(freq, m, inverse=True)
+    out = cdf_to_c128(_cdf_index(factor, (slice(0, deg + 1),)))
+    return np.conj(out)

@@ -258,3 +258,53 @@ def nsev_inverse_df64(contspec, xi_span, d: int, t_span, *, kappa: int = +1,
 
     qq = cdf_to_c128(_finvscatter_core_df64(tm_asc, deg, kappa))
     return _output_map(qq, eps_t, disc)
+
+
+def nsev_inverse_b_of_xi_df64(contspec, xi_span, d: int, t_span, *,
+                              kappa: int = -1,
+                              disc: Discretization = Discretization.SPLIT2A,
+                              oversampling_factor: int = 8):
+    """Inverse NFT from b(xi) in df64 (B(z) FFT + spectral factorization).
+
+    Mirrors models.nsev_inverse._build_tm_b_of_xi (reference :560-627):
+    the data-dependent FFT runs in df64 on device, A(z) comes from
+    :func:`fnft_tpu.ops.df64.poly_specfact_df64`, and the heavy layer
+    peel runs in df64. Host glue is pure numpy float64 (no jax x64
+    dependency), so the path works with x64 off (the TPU mode).
+    """
+    from fnft_tpu.models import nse
+    from fnft_tpu.ops.df64 import poly_specfact_df64
+
+    cs = np.asarray(contspec, dtype=np.complex128)
+    m = cs.shape[-1]
+    if d < 2 or d & (d - 1):
+        raise ValueError("D must be a positive power of two")
+    if m < d or m & (m - 1):
+        raise ValueError("M must be a power of two >= D (df64 radix-2 FFT)")
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    eps_t = (t1 - t0) / (d - 1)
+    deg = d * degree(disc)
+
+    eps_xi = (xi1 - xi0) / (m - 1)
+    xi = xi0 + eps_xi * np.arange(m)
+    pf = float(nse.phase_factor_b(eps_t, d, t0, t1, disc))
+    weighted = cs * np.exp(-1j * xi * pf)
+    reordered = np.concatenate([weighted[m // 2 - 1:], weighted[: m // 2 - 1]])
+
+    b_fft = np.asarray(cdf_to_c128(fft_df64(cdf_from_c128(reordered), m)))
+
+    idx = np.arange(deg + 1)
+    i0 = 0 if deg <= m - 1 else deg - (m - 1)
+    valid = idx >= i0
+    tm21_d = np.where(valid, b_fft[(deg - idx) % m], 0.0) / m
+    tm12_d = np.where(valid,
+                      -kappa * np.conj(b_fft[(m - 1 - deg + idx) % m]), 0.0) / m
+    a_asc = poly_specfact_df64(tm21_d[::-1],
+                               oversampling_factor=oversampling_factor,
+                               kappa=kappa)
+    tm11_d = a_asc[::-1]
+    tm22_d = a_asc
+    tm_desc = np.stack([np.stack([tm11_d, tm12_d]),
+                        np.stack([tm21_d, tm22_d])])
+    return finvscatter_df64(tm_desc[..., ::-1], eps_t, kappa, disc)

@@ -250,7 +250,8 @@ def _tree_df64(p, n_true: int, deg_in: int):
         max_abs = jnp.max(hi_mag, axis=(-3, -2, -1))
         safe = jnp.where(max_abs > 0, max_abs, 1.0)
         a_exp = jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0)
-        scale = jnp.exp2(-a_exp)[..., None, None, None].astype(jnp.float32)
+        scale = jnp.ldexp(jnp.float32(1.0),
+                          -a_exp.astype(jnp.int32))[..., None, None, None]
         p = jax.tree.map(lambda t: t * scale, prod)
         w = w[..., 0::2] + w[..., 1::2] + a_exp.astype(jnp.int32)
         c = 2 * c - 1

@@ -86,7 +86,12 @@ def _fused_levels_kernel(ar_ref, ai_ref, or_ref, oi_ref, oe_ref, *,
         safe = jnp.where(mx > 0, mx, jnp.ones_like(mx))
         aexp = jnp.where(mx > 0, jnp.floor(jnp.log2(safe)),
                          jnp.zeros_like(mx))
-        scale = jnp.exp2(-aexp)
+        # NB: jnp.exp2 is inexact on XLA:CPU (~1e-6 f32); aexp comes
+        # from floor(log2(.)) so 2^-aexp must be exact or the subtree
+        # values pick up a fake scale. ldexp lowers in both interpret
+        # and Mosaic paths (validated by the driver's TPU compile-check).
+        scale = jnp.ldexp(jnp.float32(1.0) if ar.dtype == jnp.float32
+                          else jnp.float64(1.0), -aexp.astype(jnp.int32))
     else:
         aexp = jnp.zeros_like(out_re[0][0])
         scale = jnp.ones_like(out_re[0][0])

@@ -80,7 +80,8 @@ def _tree_level_2x2(p, w, normalize: bool):
         w = w[..., 0::2] + w[..., 1::2]
     if normalize:
         a_exp = _rescale_exponents(prod, axes=(-3, -2, -1))
-        scale = jnp.exp2(-a_exp.astype(jnp.real(prod).dtype))
+        # ldexp, not exp2: XLA:CPU's exp2 is inexact (~1e-6 rel in f32)
+        scale = jnp.ldexp(jnp.asarray(1.0, jnp.real(prod).dtype), -a_exp)
         prod = prod * scale[..., None, None, None]
         w = w + a_exp if w is not None else a_exp
     return prod, w
@@ -200,7 +201,8 @@ def fmult(p, *, normalize: bool = True):
         if w is not None:
             w = w[..., 0::2] + w[..., 1::2]
             a_exp = _rescale_exponents(prod, axes=(-1,))
-            prod = prod * jnp.exp2(-a_exp.astype(jnp.real(prod).dtype))[..., None]
+            prod = prod * jnp.ldexp(
+                jnp.asarray(1.0, jnp.real(prod).dtype), -a_exp)[..., None]
             w = w + a_exp
         p = prod
     result = p[..., 0, : n * deg_in + 1]

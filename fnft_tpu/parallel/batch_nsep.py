@@ -90,7 +90,7 @@ def make_batched_nsep_fn(d: int, t_span, *, kappa: int = +1,
 
         p = _monodromy_poly(tm[0, 0], w)
         center = p[deg // 2]
-        scale = jnp.exp2(-w.astype(rdt))
+        scale = jnp.ldexp(jnp.asarray(1.0, rdt), -w)
         p_all = jnp.tile(p[None, :], (nvals, 1))
         p_all = p_all.at[:, deg // 2].set(
             center - jnp.asarray(rhs_vals).astype(cdt) * scale)

@@ -61,7 +61,8 @@ def _value_renorm(v, w):
     max_abs = jnp.max(jnp.abs(v), axis=(-3, -2, -1))
     safe = jnp.where(max_abs > 0, max_abs, 1.0)
     a_exp = jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0).astype(jnp.int32)
-    v = v * jnp.exp2(-a_exp.astype(rdt))[..., None, None, None]
+    # ldexp, not exp2: XLA:CPU's exp2 is inexact (~1e-6 rel in f32)
+    v = v * jnp.ldexp(jnp.asarray(1.0, rdt), -a_exp)[..., None, None, None]
     return v, w + a_exp
 
 

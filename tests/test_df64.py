@@ -251,3 +251,38 @@ def test_df64_kdvv_contspec():
                              opts=opts).reflection_coefficient)
     rho = kdvv_contspec_df64(u, d=d, m=m, t_span=t_span, xi_span=xi_span)
     assert np.sum(np.abs(rho - ref)) / np.sum(np.abs(ref)) < 1e-12
+
+
+def test_df64_libm():
+    """exp/log/log1p/sincos in df64 reach ~1e-13 (needed by specfact).
+    df_exp scales with ldexp: jnp.exp2 itself is INEXACT on XLA:CPU
+    (~1e-6 rel in f32 even for integer args — the reason every 2^w
+    rescale in the framework uses ldexp)."""
+    from fnft_tpu.ops.df64 import (df_exp, df_from_f64, df_log, df_log1p,
+                                   df_sincos, df_to_f64)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-20, 20, 2048)
+    sp = lambda v: tuple(map(jnp.asarray, df_from_f64(v)))  # noqa: E731
+    ex = np.asarray(df_to_f64(df_exp(sp(x))))
+    assert np.max(np.abs(ex - np.exp(x)) / np.exp(x)) < 1e-12
+    xp = rng.uniform(1e-6, 1e6, 2048)
+    lg = np.asarray(df_to_f64(df_log(sp(xp))))
+    assert np.max(np.abs(lg - np.log(xp))) < 1e-12
+    l1p = np.asarray(df_to_f64(df_log1p(sp(np.abs(x) / 20))))
+    assert np.max(np.abs(l1p - np.log1p(np.abs(x) / 20))) < 1e-12
+    s, c = df_sincos(sp(x))
+    assert np.max(np.abs(np.asarray(df_to_f64(s)) - np.sin(x))) < 1e-12
+    assert np.max(np.abs(np.asarray(df_to_f64(c)) - np.cos(x))) < 1e-12
+
+
+def test_ldexp_exact_vs_exp2():
+    """Documents the platform fact driving the ldexp choice: jnp.exp2 on
+    integer args errs up to ~1e-6 (f32) / ~2.4e-15 (f64) on XLA:CPU,
+    while ldexp is exact."""
+    import jax
+
+    n = jnp.arange(-40, 41, dtype=jnp.int32)
+    l32 = np.asarray(jnp.ldexp(jnp.float32(1.0), n), np.float64)
+    exact = np.exp2(np.arange(-40, 41, dtype=np.float64))
+    assert np.array_equal(l32, exact)

@@ -88,3 +88,40 @@ def test_df64_end_to_end_inverse():
     q_df = nsev_inverse_df64(rho, xi_span, d, t_span, kappa=-1)
     assert np.max(np.abs(q_df - q_c128)) < 5e-12
     assert np.max(np.abs(q_df - q0)) < 0.05  # discretization error only
+
+
+def test_df64_specfact_matches_c128():
+    """df64 spectral factorization (log/Hilbert/exp in float32 pairs)
+    matches the complex128 implementation to ~5e-15 for all kappa."""
+    from fnft_tpu.ops.df64 import poly_specfact_df64
+    from fnft_tpu.ops.specfact import poly_specfact
+
+    rng = np.random.default_rng(0)
+    deg = 63
+    b = 0.3 * (rng.normal(size=deg + 1) + 1j * rng.normal(size=deg + 1))
+    for kappa in (0, -1, 1):
+        bb = 0.05 * b if kappa == 1 else b
+        ref = np.asarray(poly_specfact(jnp.asarray(bb), kappa=kappa))
+        got = poly_specfact_df64(bb, kappa=kappa)
+        assert np.max(np.abs(got - ref)) < 1e-12, kappa
+
+
+def test_df64_b_of_xi_inverse():
+    """b(xi) -> q via df64 FFT + df64 specfact + df64 peel matches the
+    complex128 driver to ~4e-14."""
+    from fnft_tpu.models.nsev_inverse import (InverseContspecType,
+                                              NsevInverseOpts, nsev_inverse,
+                                              nsev_inverse_xi_grid)
+    from fnft_tpu.ops.df64_inverse import nsev_inverse_b_of_xi_df64
+
+    d = m = 256
+    t_span = (-25.0, 25.0)
+    a_amp = 0.45
+    xi_span = nsev_inverse_xi_grid(d, t_span, m)
+    xi = np.linspace(*xi_span, m)
+    b_xi = 1j * np.sin(np.pi * a_amp) / np.cosh(np.pi * xi)
+    opts = NsevInverseOpts(contspec_type=InverseContspecType.B_OF_XI)
+    q_c128 = np.asarray(nsev_inverse(jnp.asarray(b_xi), xi_span, d, t_span,
+                                     kappa=+1, opts=opts))
+    q_df = nsev_inverse_b_of_xi_df64(b_xi, xi_span, d, t_span, kappa=+1)
+    assert np.max(np.abs(q_df - q_c128)) < 1e-12
