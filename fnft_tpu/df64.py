@@ -15,6 +15,7 @@ See docs/performance.md ("Precision") for measured accuracy and cost.
 from fnft_tpu.ops.df64 import poly_specfact_df64 as poly_specfact  # noqa: F401
 from fnft_tpu.ops.df64_inverse import (  # noqa: F401
     finvscatter_df64 as finvscatter,
+    nsev_inverse_b_of_tau_df64 as nsev_inverse_b_of_tau,
     nsev_inverse_b_of_xi_df64 as nsev_inverse_b_of_xi,
     nsev_inverse_df64 as nsev_inverse,
 )

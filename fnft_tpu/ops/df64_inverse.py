@@ -308,3 +308,51 @@ def nsev_inverse_b_of_xi_df64(contspec, xi_span, d: int, t_span, *,
     tm_desc = np.stack([np.stack([tm11_d, tm12_d]),
                         np.stack([tm21_d, tm22_d])])
     return finvscatter_df64(tm_desc[..., ::-1], eps_t, kappa, disc)
+
+
+def nsev_inverse_b_of_tau_df64(contspec, d: int, t_span, *,
+                               kappa: int = -1,
+                               disc: Discretization = Discretization.SPLIT2A,
+                               oversampling_factor: int = 8):
+    """Inverse NFT from B(tau) samples in df64 (reference :632-678).
+
+    The b-coefficients are exact rescalings of the input samples
+    (trapezoid end weights), A(z) comes from the df64 spectral
+    factorization, and the layer peel runs in df64. Pure-numpy host glue
+    (works with jax x64 off).
+    """
+    from fnft_tpu.ops.df64 import poly_specfact_df64
+
+    cs = np.asarray(contspec, dtype=np.complex128)
+    m = cs.shape[-1]
+    if m != d:
+        raise ValueError("B_OF_TAU requires M == D")
+    if d < 2 or d & (d - 1):
+        raise ValueError("D must be a positive power of two")
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    if abs(t0 + t1) > 1e-12:
+        raise ValueError("B_OF_TAU requires T[0] == -T[1]")
+    eps_t = (t1 - t0) / (d - 1)
+    deg1 = degree(disc)
+    deg = d * deg1
+
+    b = 2.0 * eps_t * cs / deg1                       # descending
+    b[0] *= 0.5
+    b[d - 1] *= 0.5
+    a_asc = poly_specfact_df64(b[::-1],
+                               oversampling_factor=oversampling_factor,
+                               kappa=kappa)
+    a = a_asc[::-1]                                   # descending, length d
+
+    idx = np.arange(d)
+    tm11_d = np.zeros(deg + 1, np.complex128)
+    tm11_d[1 + idx] = a
+    tm12_d = np.zeros(deg + 1, np.complex128)
+    tm12_d[idx] = -kappa * np.conj(b[d - 1 - idx])
+    tm21_d = np.zeros(deg + 1, np.complex128)
+    tm21_d[1 + idx] = b
+    tm22_d = np.zeros(deg + 1, np.complex128)
+    tm22_d[idx] = a[d - 1 - idx]
+    tm_desc = np.stack([np.stack([tm11_d, tm12_d]),
+                        np.stack([tm21_d, tm22_d])])
+    return finvscatter_df64(tm_desc[..., ::-1], eps_t, kappa, disc)

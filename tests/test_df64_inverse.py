@@ -125,3 +125,21 @@ def test_df64_b_of_xi_inverse():
                                      kappa=+1, opts=opts))
     q_df = nsev_inverse_b_of_xi_df64(b_xi, xi_span, d, t_span, kappa=+1)
     assert np.max(np.abs(q_df - q_c128)) < 1e-12
+
+
+def test_df64_b_of_tau_inverse():
+    """B(tau) -> q in df64 matches the complex128 driver to ~3e-14."""
+    from fnft_tpu.models.nsev_inverse import (InverseContspecType,
+                                              NsevInverseOpts, nsev_inverse)
+    from fnft_tpu.ops.df64_inverse import nsev_inverse_b_of_tau_df64
+
+    d = 256
+    t_span = (-25.0, 25.0)
+    a_amp = 0.45
+    t = np.linspace(*t_span, d)
+    btau = 1j / (2 * np.pi) * np.sin(np.pi * a_amp) / np.cosh(t)
+    opts = NsevInverseOpts(contspec_type=InverseContspecType.B_OF_TAU)
+    q_c128 = np.asarray(nsev_inverse(jnp.asarray(btau), None, d, t_span,
+                                     kappa=+1, opts=opts))
+    q_df = nsev_inverse_b_of_tau_df64(btau, d, t_span, kappa=+1)
+    assert np.max(np.abs(q_df - q_c128)) < 1e-12
