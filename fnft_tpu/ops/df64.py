@@ -514,8 +514,9 @@ def poly_specfact_df64(coeffs, *, oversampling_factor: int = 32,
     # freq = exp(x - i y) = exp(x + yi) * (cos yr - i sin yr)
     mag = df_exp(df_add(x, yi))
     s_, c_ = df_sincos(yr)
-    freq = ((df_mul(mag, c_)[0], df_mul(mag, c_)[1]),
-            ((lambda t: (-t[0], -t[1]))(df_mul(mag, s_))))
+    rc = df_mul(mag, c_)
+    rs = df_mul(mag, s_)
+    freq = (rc, (-rs[0], -rs[1]))
     factor = fft_df64(freq, m, inverse=True)
     out = cdf_to_c128(_cdf_index(factor, (slice(0, deg + 1),)))
     return np.conj(out)

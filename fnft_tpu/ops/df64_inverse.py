@@ -173,12 +173,11 @@ def finvscatter_df64(transfer_matrix, eps_t: float, kappa: int,
     d = deg // max(degree(disc), 1)
     if d < 2 or d & (d - 1):
         raise ValueError("D must be a positive power of two")
+    if disc not in (Discretization.SPLIT2A, Discretization.SPLIT2_MODAL):
+        raise ValueError(
+            f"finvscatter supports 2SPLIT2A/2SPLIT2_MODAL, got {disc}")
     qq = cdf_to_c128(_finvscatter_core_df64(cdf_from_c128(tm), deg, kappa))
-    if disc is Discretization.SPLIT2A:
-        return np.arctan(np.abs(qq)) * np.exp(1j * np.angle(qq)) / eps_t
-    if disc is Discretization.SPLIT2_MODAL:
-        return qq / eps_t
-    raise ValueError(f"finvscatter supports 2SPLIT2A/2SPLIT2_MODAL, got {disc}")
+    return _output_map(qq, eps_t, disc)
 
 
 def _output_map(qq, eps_t: float, disc: Discretization):
@@ -190,6 +189,62 @@ def _output_map(qq, eps_t: float, disc: Discretization):
     raise ValueError(f"finvscatter supports 2SPLIT2A/2SPLIT2_MODAL, got {disc}")
 
 
+def _validate(d: int, m: int | None, kappa: int, disc: Discretization):
+    if disc not in (Discretization.SPLIT2A, Discretization.SPLIT2_MODAL):
+        raise ValueError(
+            f"df64 inverse supports 2SPLIT2A/2SPLIT2_MODAL, got {disc}")
+    if kappa not in (-1, 1):
+        raise ValueError("kappa must be +-1")
+    if d < 2 or d & (d - 1):
+        raise ValueError("D must be a positive power of two")
+    if m is not None and (m < d or m & (m - 1)):
+        raise ValueError("M must be a power of two >= D (df64 radix-2 FFT)")
+
+
+def _prep_contspec_host(cs, xi_span, d: int, t_span, disc, ctype: str):
+    """Shared prologue: exact complex128 phase strip + FFT reorder
+    (the phases are static host constants; reference :251-296)."""
+    from fnft_tpu.models import nse
+
+    m = cs.shape[-1]
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    eps_t = (t1 - t0) / (d - 1)
+    eps_xi = (xi1 - xi0) / (m - 1)
+    xi = xi0 + eps_xi * np.arange(m)
+    if ctype == "rho":
+        pf = float(nse.phase_factor_rho(eps_t, t1, disc))
+    else:
+        pf = float(nse.phase_factor_b(eps_t, d, t0, t1, disc))
+    weighted = cs * np.exp(-1j * xi * pf)
+    return np.concatenate([weighted[m // 2 - 1:], weighted[: m // 2 - 1]])
+
+
+def _b_blocks_np(b_fft, deg: int, m: int, kappa: int):
+    """Descending-order B blocks from FFT values (reference :344-358).
+
+    Single shared copy of the subtle index maps (the jnp twin lives in
+    models.nsev_inverse._tm_from_b_fft). Exact: gathers, conj, sign, and
+    the 1/m power-of-two scale preserve df64 values bit-for-bit.
+    """
+    idx = np.arange(deg + 1)
+    i0 = 0 if deg <= m - 1 else deg - (m - 1)
+    valid = idx >= i0
+    tm21_d = np.where(valid, b_fft[(deg - idx) % m], 0.0) / m
+    tm12_d = np.where(valid,
+                      -kappa * np.conj(b_fft[(m - 1 - deg + idx) % m]),
+                      0.0) / m
+    return tm12_d, tm21_d
+
+
+def _peel(tm_desc, eps_t: float, kappa: int, disc: Discretization):
+    """Descending complex128 transfer matrix -> q via the df64 peel."""
+    deg = tm_desc.shape[-1] - 1
+    qq = cdf_to_c128(_finvscatter_core_df64(
+        cdf_from_c128(np.ascontiguousarray(tm_desc[..., ::-1])), deg, kappa))
+    return _output_map(qq, eps_t, disc)
+
+
 def nsev_inverse_df64(contspec, xi_span, d: int, t_span, *, kappa: int = +1,
                       disc: Discretization = Discretization.SPLIT2A):
     """End-to-end inverse NFT (continuous spectrum only) in df64.
@@ -197,67 +252,28 @@ def nsev_inverse_df64(contspec, xi_span, d: int, t_span, *, kappa: int = +1,
     The reflection-coefficient transfer matrix of the reference's DEFAULT
     method (fnft_nsev_inverse.c:302-370) is transcendental-free: boundary
     phases are static host constants, the reorder/index maps are static
-    gathers, B(z) comes from one M-point FFT, and A(z) := 1. Everything
-    data-dependent runs in float32-pair arithmetic; output accuracy
-    matches the complex128 driver to ~1e-12 where complex64 errs ~1e-6.
-
-    ``contspec`` is rho on the canonical xi grid
-    (models.nsev_inverse.nsev_inverse_xi_grid); M must be a power of two
-    (the df64 FFT is radix-2) with M >= D.
+    gathers, B(z) comes from one M-point df64 FFT, and A(z) := 1. The
+    heavy work (FFT + layer peel) runs in float32-pair arithmetic; output
+    accuracy matches the complex128 driver to ~1e-12 where complex64 errs
+    ~1e-6. ``contspec`` is rho on the canonical xi grid.
     """
-    from fnft_tpu.models import nse
-    from fnft_tpu.ops.df64 import _cdf_stack
-
     cs = np.asarray(contspec, dtype=np.complex128)
     m = cs.shape[-1]
-    if d < 2 or d & (d - 1):
-        raise ValueError("D must be a positive power of two")
-    if m < d or m & (m - 1):
-        raise ValueError("M must be a power of two >= D (df64 radix-2 FFT)")
+    _validate(d, m, kappa, disc)
     t0, t1 = float(t_span[0]), float(t_span[1])
-    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
     eps_t = (t1 - t0) / (d - 1)
     deg = d * degree(disc)
 
-    # host: exact complex128 phase strip + FFT reorder (static constants)
-    eps_xi = (xi1 - xi0) / (m - 1)
-    xi = xi0 + eps_xi * np.arange(m)
-    pf = float(nse.phase_factor_rho(eps_t, t1, disc))
-    weighted = cs * np.exp(-1j * xi * pf)
-    reordered = np.concatenate([weighted[m // 2 - 1:], weighted[: m // 2 - 1]])
-
-    b_fft = fft_df64(cdf_from_c128(reordered), m)
-
-    # descending-order B blocks via static gathers (reference :344-358);
-    # 1/m is a power of two, so the scale is exact in f32
-    idx = np.arange(deg + 1)
-    i0 = 0 if deg <= m - 1 else deg - (m - 1)
-    valid = jnp.asarray(idx >= i0)
-    g21 = jnp.asarray((deg - idx) % m)
-    g12 = jnp.asarray((m - 1 - deg + idx) % m)
-    inv_m = np.float32(1.0 / m)
-
-    def take(plane, g):
-        return jnp.where(valid, plane[g], 0.0) * inv_m
-
-    tm21 = ((take(b_fft[0][0], g21), take(b_fft[0][1], g21)),
-            (take(b_fft[1][0], g21), take(b_fft[1][1], g21)))
-    # -kappa * conj(.)
-    tm12 = ((-kappa * take(b_fft[0][0], g12), -kappa * take(b_fft[0][1], g12)),
-            (kappa * take(b_fft[1][0], g12), kappa * take(b_fft[1][1], g12)))
-    delta_deg = jnp.zeros(deg + 1, jnp.float32).at[deg].set(1.0)
-    delta_0 = jnp.zeros(deg + 1, jnp.float32).at[0].set(1.0)
-    zeros = jnp.zeros(deg + 1, jnp.float32)
-    tm11 = ((delta_deg, zeros), (zeros, zeros))                 # A(z) = 1
-    tm22 = ((delta_0, zeros), (zeros, zeros))                   # z^deg
-
-    rows = [_cdf_stack([tm11, tm12], axis=-2),
-            _cdf_stack([tm21, tm22], axis=-2)]
-    tm_desc = _cdf_stack(rows, axis=-3)                         # [2, 2, c]
-    tm_asc = _slice_c(tm_desc, slice(None, None, -1))
-
-    qq = cdf_to_c128(_finvscatter_core_df64(tm_asc, deg, kappa))
-    return _output_map(qq, eps_t, disc)
+    reordered = _prep_contspec_host(cs, xi_span, d, t_span, disc, "rho")
+    b_fft = np.asarray(cdf_to_c128(fft_df64(cdf_from_c128(reordered), m)))
+    tm12_d, tm21_d = _b_blocks_np(b_fft, deg, m, kappa)
+    tm11_d = np.zeros(deg + 1, np.complex128)
+    tm11_d[deg] = 1.0                                  # A(z) = 1
+    tm22_d = np.zeros(deg + 1, np.complex128)
+    tm22_d[0] = 1.0                                    # z^deg
+    tm_desc = np.stack([np.stack([tm11_d, tm12_d]),
+                        np.stack([tm21_d, tm22_d])])
+    return _peel(tm_desc, eps_t, kappa, disc)
 
 
 def nsev_inverse_b_of_xi_df64(contspec, xi_span, d: int, t_span, *,
@@ -272,34 +288,18 @@ def nsev_inverse_b_of_xi_df64(contspec, xi_span, d: int, t_span, *,
     peel runs in df64. Host glue is pure numpy float64 (no jax x64
     dependency), so the path works with x64 off (the TPU mode).
     """
-    from fnft_tpu.models import nse
     from fnft_tpu.ops.df64 import poly_specfact_df64
 
     cs = np.asarray(contspec, dtype=np.complex128)
     m = cs.shape[-1]
-    if d < 2 or d & (d - 1):
-        raise ValueError("D must be a positive power of two")
-    if m < d or m & (m - 1):
-        raise ValueError("M must be a power of two >= D (df64 radix-2 FFT)")
+    _validate(d, m, kappa, disc)
     t0, t1 = float(t_span[0]), float(t_span[1])
-    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
     eps_t = (t1 - t0) / (d - 1)
     deg = d * degree(disc)
 
-    eps_xi = (xi1 - xi0) / (m - 1)
-    xi = xi0 + eps_xi * np.arange(m)
-    pf = float(nse.phase_factor_b(eps_t, d, t0, t1, disc))
-    weighted = cs * np.exp(-1j * xi * pf)
-    reordered = np.concatenate([weighted[m // 2 - 1:], weighted[: m // 2 - 1]])
-
+    reordered = _prep_contspec_host(cs, xi_span, d, t_span, disc, "b")
     b_fft = np.asarray(cdf_to_c128(fft_df64(cdf_from_c128(reordered), m)))
-
-    idx = np.arange(deg + 1)
-    i0 = 0 if deg <= m - 1 else deg - (m - 1)
-    valid = idx >= i0
-    tm21_d = np.where(valid, b_fft[(deg - idx) % m], 0.0) / m
-    tm12_d = np.where(valid,
-                      -kappa * np.conj(b_fft[(m - 1 - deg + idx) % m]), 0.0) / m
+    tm12_d, tm21_d = _b_blocks_np(b_fft, deg, m, kappa)
     a_asc = poly_specfact_df64(tm21_d[::-1],
                                oversampling_factor=oversampling_factor,
                                kappa=kappa)
@@ -307,7 +307,7 @@ def nsev_inverse_b_of_xi_df64(contspec, xi_span, d: int, t_span, *,
     tm22_d = a_asc
     tm_desc = np.stack([np.stack([tm11_d, tm12_d]),
                         np.stack([tm21_d, tm22_d])])
-    return finvscatter_df64(tm_desc[..., ::-1], eps_t, kappa, disc)
+    return _peel(tm_desc, eps_t, kappa, disc)
 
 
 def nsev_inverse_b_of_tau_df64(contspec, d: int, t_span, *,
@@ -318,17 +318,15 @@ def nsev_inverse_b_of_tau_df64(contspec, d: int, t_span, *,
 
     The b-coefficients are exact rescalings of the input samples
     (trapezoid end weights), A(z) comes from the df64 spectral
-    factorization, and the layer peel runs in df64. Pure-numpy host glue
-    (works with jax x64 off).
+    factorization, and the layer peel runs in df64.
     """
     from fnft_tpu.ops.df64 import poly_specfact_df64
 
     cs = np.asarray(contspec, dtype=np.complex128)
     m = cs.shape[-1]
+    _validate(d, None, kappa, disc)
     if m != d:
         raise ValueError("B_OF_TAU requires M == D")
-    if d < 2 or d & (d - 1):
-        raise ValueError("D must be a positive power of two")
     t0, t1 = float(t_span[0]), float(t_span[1])
     if abs(t0 + t1) > 1e-12:
         raise ValueError("B_OF_TAU requires T[0] == -T[1]")
@@ -355,4 +353,4 @@ def nsev_inverse_b_of_tau_df64(contspec, d: int, t_span, *,
     tm22_d[idx] = a[d - 1 - idx]
     tm_desc = np.stack([np.stack([tm11_d, tm12_d]),
                         np.stack([tm21_d, tm22_d])])
-    return finvscatter_df64(tm_desc[..., ::-1], eps_t, kappa, disc)
+    return _peel(tm_desc, eps_t, kappa, disc)

@@ -515,6 +515,8 @@ def kdvv_contspec_df64(u128, *, d: int, m: int, t_span, xi_span,
         raise ValueError("D must be a positive power of two")
     t0, t1 = float(t_span[0]), float(t_span[1])
     xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    if not (t0 < t1 and xi0 < xi1 and m >= 2):
+        raise ValueError("invalid grids (need T0 < T1, XI0 < XI1, M >= 2)")
     eps_t = (t1 - t0) / (d - 1)
     eps_xi = (xi1 - xi0) / (m - 1)
     deg1 = max(degree(disc), 1)
