@@ -23,5 +23,6 @@ from fnft_tpu.ops.df64_pipeline import (  # noqa: F401
     enable_compilation_cache,
     kdvv_contspec_df64 as kdvv_contspec,
     nsev_boundstates_df64 as nsev_boundstates,
+    nsev_boundstates_df64_batched as nsev_boundstates_batched,
     nsev_contspec_df64 as nsev_contspec,
 )

@@ -542,3 +542,64 @@ def kdvv_contspec_df64(u128, *, d: int, m: int, t_span, xi_span,
     num = np.exp(2j * xi_neg * (t1 + 0.5 * eps_t)) * h12
     den = 2j * xi_neg * h22 - h12
     return num / den
+
+
+def nsev_boundstates_df64_batched(q128_batch, *, d: int, t_span,
+                                  kappa: int = +1,
+                                  disc: Discretization = Discretization.SPLIT4B,
+                                  initial_states=None, k_max: int = 0,
+                                  iters: int = 4):
+    """Batched df64 bound states: [B, D] -> (lam [B, k_max], mask).
+
+    Per-signal eigenvalue counts differ, so results are padded to
+    ``k_max`` (auto = the largest count) with a validity mask; the df64
+    transfer polynomials and the Newton polish run as one vmapped
+    program over the batch.
+    """
+    if kappa != +1:
+        raise ValueError("bound states require kappa=+1")
+    enable_compilation_cache()
+    qb = np.asarray(q128_batch, dtype=np.complex128)
+    b, dd = qb.shape
+    if d != dd:
+        raise ValueError(f"d={d} does not match signal length {dd}")
+    if d < 2 or d & (d - 1):
+        raise ValueError("D must be a positive power of two")
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    eps_t = (t1 - t0) / (d - 1)
+
+    if initial_states is None:
+        import fnft_tpu as ft
+
+        initial_states = []
+        for i in range(b):
+            res = ft.nsev(jnp.asarray(qb[i].astype(np.complex64)), (t0, t1),
+                          m=0, kappa=+1,
+                          opts=ft.NsevOpts(discretization=disc))
+            initial_states.append(np.asarray(res.bound_states,
+                                             dtype=np.complex128))
+    counts = [len(s) for s in initial_states]
+    k_max = k_max or max(counts + [1])
+    lam0 = np.zeros((b, k_max), np.complex128)
+    mask = np.zeros((b, k_max), bool)
+    for i, s in enumerate(initial_states):
+        k = min(len(s), k_max)
+        lam0[i, :k] = s[:k]
+        mask[i, :k] = True
+    lam0[~mask] = 1j  # benign placeholder inside the unit-disk image
+
+    from fnft_tpu.models.discretization import degree1step_total
+
+    deg1 = degree1step_total(disc)
+    z0 = np.exp(2j * lam0 * (eps_t / deg1))
+
+    def one(q_cdf, z0_cdf):
+        p = _tm_stage_df64(q_cdf, eps_t=eps_t, kappa=kappa, disc=disc)
+        tm, _ = _tree_stage_df64(p, n_true=d, deg_in=degree(disc))
+        tm00 = _cdf_index(tm, (0, 0, slice(None)))
+        return _polish_stage_df64(tm00, z0_cdf, iters=iters)
+
+    z = jax.vmap(one)(cdf_from_c128(qb), cdf_from_c128(z0))
+    lam = np.log(np.asarray(cdf_to_c128(z))) * (deg1 / (2j * eps_t))
+    lam[~mask] = 0.0
+    return lam, mask

@@ -290,3 +290,20 @@ def test_ldexp_exact_vs_exp2():
     e32 = np.asarray(jnp.exp2(n.astype(jnp.float32)), np.float64)
     err32 = np.max(np.abs(e32 - exact) / exact)
     assert err32 <= 2e-6, err32
+
+
+def test_df64_bound_states_batched():
+    """Batched df64 polish matches the single-signal path row by row,
+    with per-signal counts padded to k_max + mask."""
+    from fnft_tpu.ops.df64_pipeline import (nsev_boundstates_df64,
+                                            nsev_boundstates_df64_batched)
+
+    t = np.linspace(-25, 25, 512)
+    q1 = 1j * 3.2 / np.cosh(t)
+    q2 = 1j * 1.2 / np.cosh(t)
+    lam_b, mask = nsev_boundstates_df64_batched(
+        np.stack([q1, q2]), d=512, t_span=(-25.0, 25.0))
+    assert list(mask.sum(1)) == [3, 1]
+    l1 = nsev_boundstates_df64(q1, d=512, t_span=(-25.0, 25.0))
+    np.testing.assert_allclose(np.sort(lam_b[0][mask[0]].imag),
+                               np.sort(l1.imag), atol=1e-9)
