@@ -90,8 +90,9 @@ def _fused_levels_kernel(ar_ref, ai_ref, or_ref, oi_ref, oe_ref, *,
         # from floor(log2(.)) so 2^-aexp must be exact or the subtree
         # values pick up a fake scale. ldexp lowers in both interpret
         # and Mosaic paths (validated by the driver's TPU compile-check).
-        scale = jnp.ldexp(jnp.float32(1.0) if ar.dtype == jnp.float32
-                          else jnp.float64(1.0), -aexp.astype(jnp.int32))
+        # vector operand: Mosaic's ldexp lowering bitcasts and rejects
+        # scalar inputs ('tpu.bitcast' needs vectors)
+        scale = jnp.ldexp(jnp.ones_like(mx), -aexp.astype(jnp.int32))
     else:
         aexp = jnp.zeros_like(out_re[0][0])
         scale = jnp.ones_like(out_re[0][0])
