@@ -34,3 +34,29 @@ def test_slow_disc_requires_newton_for_bound_states():
     with pytest.raises(InvalidArgumentError):
         ft.nsev(Q16, (-1.0, 1.0),
                 opts=ft.NsevOpts(discretization=ft.Discretization.BO))
+
+
+def test_df64_validation_errors():
+    """df64 entry points reject bad kappa/disc/grids with clear errors."""
+    import numpy as np
+    import pytest
+
+    from fnft_tpu import df64
+    from fnft_tpu.models.discretization import Discretization
+
+    q = np.zeros(64, complex)
+    with pytest.raises(ValueError, match="kappa"):
+        df64.nsev_inverse(q, (-1, 1), 64, (-1, 1), kappa=0)
+    with pytest.raises(ValueError, match="2SPLIT2A"):
+        df64.nsev_inverse(q, (-1, 1), 64, (-1, 1), kappa=-1,
+                          disc=Discretization.SPLIT4B)
+    with pytest.raises(ValueError, match="power of two"):
+        df64.nsev_inverse(np.zeros(63, complex), (-1, 1), 63, (-1, 1),
+                          kappa=-1)
+    with pytest.raises(ValueError, match="invalid grids"):
+        df64.kdvv_contspec(q, d=64, m=1, t_span=(-1, 1), xi_span=(0.1, 2))
+    with pytest.raises(ValueError, match="does not match"):
+        df64.nsev_contspec(q, d=128, m=64, t_span=(-1, 1), xi_span=(-2, 2))
+    with pytest.raises(ValueError, match="M == D"):
+        df64.nsev_inverse_b_of_tau(np.zeros(32, complex), 64, (-1, 1),
+                                   kappa=-1)
