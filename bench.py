@@ -154,6 +154,29 @@ def _run_once(args):
     }
 
 
+def _tpu_probe_ok(timeout: float = 180.0) -> bool:
+    """Bounded subprocess probe: does the TPU backend actually execute?"""
+    import os
+    import subprocess
+
+    # NOTE: block_until_ready alone is NOT a valid probe on the axon tunnel —
+    # in the observed degraded state it returns instantly without syncing
+    # (fire-and-forget dispatch) while every d2h transfer hangs or raises
+    # UNIMPLEMENTED. A usable TPU must round-trip a value to the host.
+    code = ("import numpy as np, jax, jax.numpy as jnp;"
+            "x = jax.jit(jnp.fft.fft)(jnp.arange(256, dtype=jnp.complex64));"
+            "a = np.asarray(jax.block_until_ready(x));"
+            "assert abs(a[0] - 32640) < 1, a[0];"
+            "assert jax.devices()[0].platform == 'tpu'")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              env=dict(os.environ), capture_output=True,
+                              timeout=timeout)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log2d", type=int, default=20)
@@ -161,6 +184,9 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--retries", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--no-fallback", action="store_true",
+                    help="do not fall back to a CPU-measured record when "
+                         "the TPU backend is unavailable")
     ap.add_argument("--no-df64", action="store_true",
                     help="skip timing the reference-accuracy float32-pair "
                          "pipeline at D=2^12")
@@ -180,15 +206,47 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-
     last_err = None
+    if not args.cpu and not args.no_fallback and not _tpu_probe_ok():
+        # the tunnel sometimes hangs rather than erroring; a bounded
+        # subprocess probe keeps the driver's bench run from stalling
+        args.retries = 0
+        last_err = "TPU probe failed or timed out (tunnel down)"
     for attempt in range(args.retries):
         try:
             print(json.dumps(_run_once(args)))
             return 0
         except Exception as e:  # TPU tunnel flakiness: back off and retry
             last_err = e
-            time.sleep(30.0 * (attempt + 1))
+            if attempt + 1 < args.retries:
+                time.sleep(30.0 * (attempt + 1))
+
+    if not args.cpu and not args.no_fallback:
+        # Dead TPU must still yield a measured number: re-run in a clean
+        # subprocess pinned to the CPU backend and annotate the record with
+        # the TPU error so the regression-watch signal is never dropped.
+        import os
+        import subprocess
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        cmd = [sys.executable, __file__, "--cpu", "--no-fallback",
+               "--log2d", str(args.log2d), "--reps", str(args.reps),
+               "--batch", str(args.batch), "--retries", "1"]
+        if args.no_df64:
+            cmd.append("--no-df64")
+        if args.no_harness:
+            cmd.append("--no-harness")
+        proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        for line in proc.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "metric" in rec:
+                rec["tpu_error"] = str(last_err)[:200]
+                print(json.dumps(rec))
+                return 0 if proc.returncode == 0 else 1
+
     print(json.dumps({"metric": "nsev_contspec_bench_failed",
                       "value": 0, "unit": "s", "vs_baseline": 0,
                       "error": str(last_err)[:200]}))

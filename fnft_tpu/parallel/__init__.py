@@ -1,4 +1,5 @@
 from fnft_tpu.parallel.sharding import (  # noqa: F401
+    as_auto_mesh,
     batched_nsev_contspec,
     make_mesh,
     make_nsev_batch_fn,

@@ -59,6 +59,8 @@ def make_batched_nsep_fn(d: int, t_span, *, kappa: int = +1,
 
     With ``mesh`` the batch axis is sharded over the mesh's "batch" axis.
     """
+    from fnft_tpu.parallel.sharding import as_auto_mesh
+    mesh = as_auto_mesh(mesh)
     t0, t1 = float(t_span[0]), float(t_span[1])
     if d < 2 or d & (d - 1):
         raise ValueError("D must be a power of two")

@@ -107,6 +107,8 @@ def make_dshard_contspec(d: int, t_span, m: int, xi_span, mesh: Mesh, *,
         raise ValueError(
             "dshard supports fast schemes with upsampling factor 1 "
             f"(2SPLITxy family); got {disc}")
+    from fnft_tpu.parallel.sharding import as_auto_mesh
+    mesh = as_auto_mesh(mesh)
     s = mesh.shape[seq_axis]
     if d % s or m % s:
         raise ValueError(f"D={d} and M={m} must be divisible by the "
@@ -241,6 +243,8 @@ def make_gridsharded_chirpz(n: int, a: complex, w: complex, m: int,
     O((n + M/S) log) instead of O((n + M) log). Output is sharded over
     ``grid_axis``. ``nlead`` = number of leading batch axes of ``coeffs``.
     """
+    from fnft_tpu.parallel.sharding import as_auto_mesh
+    mesh = as_auto_mesh(mesh)
     s = mesh.shape[grid_axis]
     if m % s:
         raise ValueError(f"M={m} must be divisible by mesh axis size {s}")

@@ -25,6 +25,26 @@ from fnft_tpu.models.nsev import ContspecType, NsevOpts, _apply_phase_factors, _
 from fnft_tpu.ops.fscatter import fscatter
 
 
+def as_auto_mesh(mesh):
+    """Normalize a user mesh to Auto axis types.
+
+    ``jax.make_mesh`` defaults to Explicit sharding axes on jax >= 0.9;
+    this package's data-parallel entry points use sharding propagation
+    (Auto semantics), so an Explicit mesh from a user is rebuilt with the
+    same devices and names but Auto axis types. No-op for Auto meshes.
+    """
+    if mesh is None:
+        return None
+    try:
+        from jax.sharding import AxisType
+
+        if all(t == AxisType.Auto for t in mesh.axis_types):
+            return mesh
+    except ImportError:  # older jax: no axis types, nothing to normalize
+        return mesh
+    return Mesh(mesh.devices, mesh.axis_names)
+
+
 def make_mesh(devices=None, axis_names=("batch",)):
     """A device mesh over all available devices.
 
@@ -66,6 +86,7 @@ def make_nsev_batch_fn(d: int, t_span, m: int, xi_span, *, kappa: int = +1,
     from fnft_tpu.models.nsev import ContspecType
 
     contspec_type = contspec_type or ContspecType.REFLECTION_COEFFICIENT
+    mesh = as_auto_mesh(mesh)
     t0, t1 = float(t_span[0]), float(t_span[1])
     xi0, xi1 = float(xi_span[0]), float(xi_span[1])
     eps_t = (t1 - t0) / (d - 1)
@@ -98,6 +119,7 @@ def batched_nsev_contspec(q_batch, t_span, m: int, xi_span, *, kappa: int = +1,
     ``q_batch`` has shape [B, D]; the batch axis is sharded over the mesh's
     "batch" axis. Returns rho with shape [B, M].
     """
+    mesh = as_auto_mesh(mesh)
     t0, t1 = float(t_span[0]), float(t_span[1])
     xi0, xi1 = float(xi_span[0]), float(xi_span[1])
     d = q_batch.shape[-1]

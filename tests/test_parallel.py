@@ -30,6 +30,21 @@ def test_batched_contspec_matches_single():
                                    rtol=1e-10, atol=1e-12)
 
 
+def test_batched_contspec_explicit_axis_mesh():
+    """jax.make_mesh defaults to Explicit sharding axes on jax >= 0.9; the
+    batch entry points must normalize such meshes (as_auto_mesh)."""
+    d, m, b = 256, 32, 8
+    t_span, xi_span = (-10.0, 10.0), (-2.0, 2.0)
+    t = np.linspace(*t_span, d)
+    q_batch = np.tile(1j * 1.3 / np.cosh(t), (b, 1))
+
+    mesh = jax.make_mesh((8,), ("batch",))  # Explicit axis types
+    rho_b = np.asarray(batched_nsev_contspec(q_batch, t_span, m, xi_span,
+                                             mesh=mesh))
+    assert rho_b.shape == (b, m)
+    np.testing.assert_array_equal(rho_b[0], rho_b[7])
+
+
 def test_batched_full_spectrum():
     """Batched contspec+bound-states pipeline: correct K and eigenvalues
     across a batch with different soliton counts, fully on device."""

@@ -30,7 +30,9 @@ LOG = REPO / "tpu_watch.log"
 PROBE = """
 import jax, jax.numpy as jnp, numpy as np
 x = jnp.fft.fft(jnp.arange(256, dtype=jnp.complex64))
-a = np.asarray(jax.block_until_ready(x))
+jax.block_until_ready(x)
+print('EXEC_OK', flush=True)  # NB: bur can be fire-and-forget when degraded
+a = np.asarray(x)
 assert abs(a[0] - 32640) < 1, a[0]
 print('PROBE_OK')
 """
@@ -145,8 +147,13 @@ def run_py(code: str, timeout: int) -> tuple[bool, str]:
         r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                            text=True, timeout=timeout, cwd=str(REPO))
         return r.returncode == 0, r.stdout + r.stderr
-    except subprocess.TimeoutExpired:
-        return False, "TIMEOUT"
+    except subprocess.TimeoutExpired as e:
+        partial = (e.stdout or b"")
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        tag = "TIMEOUT(dispatch-ok,d2h-dead)" if "EXEC_OK" in partial \
+            else "TIMEOUT"
+        return False, tag
 
 
 def done_stages() -> set[str]:
