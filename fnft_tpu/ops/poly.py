@@ -116,10 +116,43 @@ def set_fused_early_levels(levels: int | None) -> None:
         jax.clear_caches()
 
 
+def _pallas_hw_validated() -> bool:
+    """Has the Pallas fused tree ever been validated on real TPU hardware?
+
+    The watcher (tools/tpu_watch.py) records a kernel-vs-XLA agreement
+    check to TPU_MEASUREMENTS.jsonl in its first healthy window; until
+    such a record exists the Mosaic-lowered kernel has only been
+    interpret-tested, so auto-enable stays off (it can still be forced
+    via set_fused_early_levels for measurement runs)."""
+    import json
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[2] / "TPU_MEASUREMENTS.jsonl"
+    try:
+        for ln in path.read_text().splitlines():
+            try:
+                rec = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("name") == "pallas_hw_validation" and rec.get("agree"):
+                return True
+    except OSError:
+        pass
+    return False
+
+
+_PALLAS_HW_OK: bool | None = None  # cached _pallas_hw_validated() result
+
+
 def _fused_levels_active() -> int:
+    global _PALLAS_HW_OK
     if _FUSED_EARLY_LEVELS is not None:
         return _FUSED_EARLY_LEVELS
-    return _FUSED_AUTO_TPU if jax.default_backend() == "tpu" else 0
+    if jax.default_backend() != "tpu":
+        return 0
+    if _PALLAS_HW_OK is None:
+        _PALLAS_HW_OK = _pallas_hw_validated()
+    return _FUSED_AUTO_TPU if _PALLAS_HW_OK else 0
 
 
 def fmult2x2_tree(p, *, normalize: bool = True):

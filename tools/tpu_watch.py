@@ -107,8 +107,40 @@ rec.update(best_seconds=best, compile_seconds=compile_s, rho0_abs=mid,
 print('STAGE_JSON ' + json.dumps(rec))
 """
 
+PALLAS_VALIDATE_STAGE = """
+import json, time
+import jax, jax.numpy as jnp, numpy as np
+import fnft_tpu.ops.poly as _poly
+from __graft_entry__ import _rho_pipeline
+
+cfg = json.loads('''{cfg}''')
+d = m = cfg['d']
+t = np.linspace(-25.0, 25.0, d)
+q = (1j * 3.2 / np.cosh(t)).astype(np.complex64)[None, :]
+qd = jax.device_put(jnp.asarray(q))
+outs = dict()
+for lv in (0, cfg.get('levels', 2)):
+    _poly.set_fused_early_levels(lv)
+    rho = jax.jit(_rho_pipeline(d, m, (-25.0, 25.0), (-2.0, 2.0)))
+    outs[lv] = np.asarray(jax.block_until_ready(rho(qd)))
+_poly.set_fused_early_levels(None)
+lv = cfg.get('levels', 2)
+diff = float(np.max(np.abs(outs[lv] - outs[0])))
+scale = float(np.max(np.abs(outs[0])) + 1e-30)
+agree = bool(diff <= 1e-5 * scale) and bool(np.all(np.isfinite(outs[lv])))
+rec = dict(cfg)
+rec.update(name='pallas_hw_validation', agree=agree, max_abs_diff=diff,
+           platform=jax.devices()[0].platform,
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
 # expect_rho0: |rho(0)| of the Satsuma-Yajima A=3.2 sech
 STAGES = [
+    # first: cheap hardware validation of the Pallas fused tree — its
+    # recorded `agree` flag is what ops/poly.py gates the auto-enable on
+    dict(name="pallas_hw_validation", d=1 << 12, levels=2, reps=1,
+         pallas_validate=True),
     dict(name="single_D4096", d=1 << 12, m=1 << 12, batch=1, reps=5,
          expect_rho0=0.7265425),
     dict(name="single_D65536", d=1 << 16, m=1 << 16, batch=1, reps=5,
@@ -187,7 +219,12 @@ def main() -> int:
                     continue
                 cfg = json.dumps(st)
                 tmo = 360 if st["d"] < (1 << 18) else 900
-                template = DF64_STAGE if st.get("df64") else STAGE
+                if st.get("pallas_validate"):
+                    template = PALLAS_VALIDATE_STAGE
+                elif st.get("df64"):
+                    template = DF64_STAGE
+                else:
+                    template = STAGE
                 ok, out = run_py(template.replace("{cfg}", cfg), tmo)
                 line = next((ln for ln in out.splitlines()
                              if ln.startswith("STAGE_JSON ")), None)
@@ -195,8 +232,14 @@ def main() -> int:
                     rec = json.loads(line[len("STAGE_JSON "):])
                     with OUT.open("a") as f:
                         f.write(json.dumps(rec) + "\n")
-                    log(f"stage {st['name']} OK: best={rec['best_seconds']:.4f}s "
-                        f"rho0={rec['rho0_abs']:.5f}")
+                    if "best_seconds" in rec:
+                        log(f"stage {st['name']} OK: "
+                            f"best={rec['best_seconds']:.4f}s "
+                            f"rho0={rec.get('rho0_abs', float('nan')):.5f}")
+                    else:
+                        log(f"stage {st['name']} OK: "
+                            f"agree={rec.get('agree')} "
+                            f"diff={rec.get('max_abs_diff')}")
                 else:
                     tail = out.strip().splitlines()[-1][:120] if out.strip() else "?"
                     log(f"stage {st['name']} FAIL: {tail}")
