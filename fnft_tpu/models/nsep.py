@@ -27,8 +27,10 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -152,22 +154,18 @@ def _eval_b(q_eff, r_eff, lam, eps_t, base_disc):
     return t[:, 0, 1], td[:, 0, 1]
 
 
-def _refine_mainspec(q_eff, r_eff, lam0, eps_t, rhs, tol, max_evals,
-                     base_disc):
-    """Vectorized higher-order-root Newton with m in {1,2} line search
-    (reference refine_mainspec, :707-793)."""
-    lam = np.asarray(lam0)
-    if lam.size == 0 or max_evals == 0:
-        return lam
-    k = lam.shape[0]
-    lam = jnp.asarray(lam)
-    rhs = jnp.asarray(rhs)          # scalar, or one value per point
+@partial(jax.jit, static_argnames=("eps_t", "iters", "base_disc"))
+def _refine_mainspec_loop(q_eff, r_eff, lam0, rhs, tol, eps_t, iters,
+                          base_disc):
+    """The whole mainspec Newton sweep as one XLA program (one dispatch
+    instead of ``iters`` host round-trips)."""
+    k = lam0.shape[0]
     rhs2 = jnp.concatenate([rhs, rhs]) if rhs.ndim == 1 else rhs
-    f, fp = _eval_floquet(q_eff, r_eff, lam, eps_t, base_disc)
+    f, fp = _eval_floquet(q_eff, r_eff, lam0, eps_t, base_disc)
     f = f + rhs
-    frozen = jnp.zeros(k, dtype=bool)
-    iters = max(1, (max_evals - 1) // 2)
-    for _ in range(iters):
+
+    def body(_, carry):
+        lam, f, fp, frozen = carry
         fp_safe = jnp.where(fp == 0, 1.0, fp)
         incr = f / fp_safe
         cand = jnp.concatenate([lam - incr, lam - 2 * incr])
@@ -185,8 +183,40 @@ def _refine_mainspec(q_eff, r_eff, lam0, eps_t, rhs, tol, max_evals,
         lam = jnp.where(frozen, lam, lam_final)
         f = jnp.where(frozen, f, f_new)
         fp = jnp.where(frozen, fp, fp_new)
-        frozen = frozen | conv | (fp == 0)
+        return lam, f, fp, frozen | conv | (fp_new == 0)
+
+    frozen0 = jnp.zeros(k, dtype=bool)
+    lam, _, _, _ = jax.lax.fori_loop(0, iters, body, (lam0, f, fp, frozen0))
+    return lam
+
+
+def _refine_mainspec(q_eff, r_eff, lam0, eps_t, rhs, tol, max_evals,
+                     base_disc):
+    """Vectorized higher-order-root Newton with m in {1,2} line search
+    (reference refine_mainspec, :707-793)."""
+    lam = np.asarray(lam0)
+    if lam.size == 0 or max_evals == 0:
+        return lam
+    iters = max(1, (max_evals - 1) // 2)
+    lam = _refine_mainspec_loop(q_eff, r_eff, jnp.asarray(lam),
+                                jnp.asarray(rhs), jnp.asarray(tol),
+                                float(eps_t), int(iters), base_disc)
     return np.asarray(lam)
+
+
+@partial(jax.jit, static_argnames=("eps_t", "iters", "base_disc"))
+def _refine_auxspec_loop(q_eff, r_eff, lam0, tol, eps_t, iters, base_disc):
+    def body(_, carry):
+        lam, frozen = carry
+        f, fp = _eval_b(q_eff, r_eff, lam, eps_t, base_disc)
+        fp_safe = jnp.where(fp == 0, 1.0, fp)
+        lam_new = lam - f / fp_safe
+        lam = jnp.where(frozen | (fp == 0), lam, lam_new)
+        return lam, frozen | (jnp.abs(f) < tol) | (fp == 0)
+
+    lam, _ = jax.lax.fori_loop(
+        0, iters, body, (lam0, jnp.zeros(lam0.shape, dtype=bool)))
+    return lam
 
 
 def _refine_auxspec(q_eff, r_eff, lam0, eps_t, tol, max_evals, base_disc):
@@ -194,14 +224,9 @@ def _refine_auxspec(q_eff, r_eff, lam0, eps_t, tol, max_evals, base_disc):
     lam = np.asarray(lam0)
     if lam.size == 0 or max_evals == 0:
         return lam
-    lam = jnp.asarray(lam)
-    frozen = jnp.zeros(lam.shape, dtype=bool)
-    for _ in range(max_evals):
-        f, fp = _eval_b(q_eff, r_eff, lam, eps_t, base_disc)
-        fp_safe = jnp.where(fp == 0, 1.0, fp)
-        lam_new = lam - f / fp_safe
-        lam = jnp.where(frozen | (fp == 0), lam, lam_new)
-        frozen = frozen | (jnp.abs(f) < tol) | (fp == 0)
+    lam = _refine_auxspec_loop(q_eff, r_eff, jnp.asarray(lam),
+                               jnp.asarray(tol), float(eps_t),
+                               int(max_evals), base_disc)
     return np.asarray(lam)
 
 

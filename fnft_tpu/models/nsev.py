@@ -19,8 +19,10 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,6 +144,31 @@ def _apply_phase_factors(h11, h21, w, eps_t, t0, t1, d_given, xi0, xi1, m,
     return out
 
 
+@partial(jax.jit, static_argnames=("disc", "niter", "eps_t", "t0", "t1"))
+def _newton_refine_loop(q_eff, r_eff, lam0, box, eps_t, t0, t1, disc, niter):
+    """One XLA program for the whole ``niter`` Newton sweep (single
+    dispatch instead of niter host round-trips)."""
+    eprec = 100.0 * eps_of(lam0.dtype)
+
+    def body(_, carry):
+        lam, active = carry
+        a, ap, _ = scatter_bound_states(q_eff, r_eff, lam, eps_t, t0, t1,
+                                        disc, skip_b=True)
+        step = a / jnp.where(ap == 0, 1.0, ap)
+        step = jnp.where((a == 0) | (ap == 0), 0.0, step)
+        lam_new = jnp.where(active, lam - step, lam)
+        in_box = ((jnp.real(lam_new) >= box[0])
+                  & (jnp.real(lam_new) <= box[1])
+                  & (jnp.imag(lam_new) >= box[2])
+                  & (jnp.imag(lam_new) <= box[3]))
+        active = active & (jnp.abs(step) > eprec) & in_box
+        return lam_new, active
+
+    lam, _ = jax.lax.fori_loop(
+        0, niter, body, (lam0, jnp.ones(lam0.shape, dtype=bool)))
+    return lam
+
+
 def _newton_refine(q_eff, r_eff, lam0, eps_t, t0, t1, disc, niter,
                    bounding_box):
     """Vectorized Newton iteration on a(lam) (fnft_nsev.c:973-1038).
@@ -152,21 +179,9 @@ def _newton_refine(q_eff, r_eff, lam0, eps_t, t0, t1, disc, niter,
     lam = jnp.asarray(lam0)
     if lam.size == 0:
         return lam
-    eprec = 100.0 * eps_of(lam.dtype)
-    active = jnp.ones(lam.shape, dtype=bool)
-    for _ in range(niter):
-        a, ap, _ = scatter_bound_states(q_eff, r_eff, lam, eps_t, t0, t1,
-                                        disc, skip_b=True)
-        step = a / jnp.where(ap == 0, 1.0, ap)
-        step = jnp.where((a == 0) | (ap == 0), 0.0, step)
-        lam_new = jnp.where(active, lam - step, lam)
-        in_box = ((jnp.real(lam_new) >= bounding_box[0])
-                  & (jnp.real(lam_new) <= bounding_box[1])
-                  & (jnp.imag(lam_new) >= bounding_box[2])
-                  & (jnp.imag(lam_new) <= bounding_box[3]))
-        active = active & (jnp.abs(step) > eprec) & in_box
-        lam = lam_new
-    return lam
+    box = jnp.asarray(np.asarray(bounding_box, dtype=np.float64))
+    return _newton_refine_loop(q_eff, r_eff, lam, box, float(eps_t),
+                               float(t0), float(t1), disc, int(niter))
 
 
 def _compute_boundstates(q_eff, r_eff, q_orig, tm11, w, eps_t, t0, t1,
