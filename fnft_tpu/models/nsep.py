@@ -46,7 +46,8 @@ from fnft_tpu.models.discretization import (
 )
 from fnft_tpu.ops.fscatter import fscatter
 from fnft_tpu.ops.gridsearch import roots_fftgridsearch
-from fnft_tpu.ops.roots import poly_roots_batched
+from fnft_tpu.ops.roots import (certified_tol, poly_roots_batched,
+                                root_residuals)
 from fnft_tpu.ops.scatter import scatter_matrix
 from fnft_tpu.utils import misc
 
@@ -310,7 +311,11 @@ def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
                                    opts.max_evals, base)
         main = post_filter(lam_ref)
     if want_aux:
-        lam = lam_all[-1]
+        # per-root backward-error certificate: uncertified Aberth outputs
+        # (eta > O(deg*eps)) are spurious — unlike the main spectrum, the
+        # aux path has no spine cross-check, so drop them before Newton
+        eta = np.asarray(root_residuals(tm[0, 1], roots_all[-1]))
+        lam = lam_all[-1][eta <= certified_tol(deg)]
         if opts.filtering is not PointFilter.NONE:
             lam = _filter_np(lam, box)
         lam = _refine_auxspec(q_eff, r_eff, lam, eps_t, refine_tol,

@@ -210,16 +210,18 @@ def newton_polygon_init_jax(coeffs):
     return (radius * jnp.exp(1j * ang)).astype(complex_dtype_of(coeffs))
 
 
-@partial(jax.jit, static_argnames=("num_iters",))
-def aberth_roots(coeffs, z0, num_iters: int = 80):
+@partial(jax.jit, static_argnames=("num_iters", "return_iters"))
+def aberth_roots(coeffs, z0, num_iters: int = 80,
+                 return_iters: bool = False):
     """Run Ehrlich–Aberth sweeps from initial guesses ``z0``.
 
     Args:
       coeffs: ascending coefficients ``[deg+1]`` (complex).
       z0: initial guesses ``[deg]``.
       num_iters: maximum sweeps (early exit on convergence).
+      return_iters: also return the executed sweep count (int32 scalar).
 
-    Returns roots ``[deg]``.
+    Returns roots ``[deg]`` (and the sweep count when ``return_iters``).
     """
     coeffs = jnp.asarray(coeffs)
     cdt = complex_dtype_of(coeffs)
@@ -230,13 +232,15 @@ def aberth_roots(coeffs, z0, num_iters: int = 80):
 
     def _pairwise_sum(z):
         """sum_{j != i} 1/(z_i - z_j); chunked above 4096 roots to bound
-        the O(deg^2) distance matrix memory."""
+        the O(deg^2) distance matrix memory. The chunk width shrinks with
+        deg so the [deg, chunk] block stays <= ~2^26 elements (1 GiB in
+        c128) even at eiscor's worst case deg ~ 1e5."""
         if deg <= 4096:
             eye = jnp.eye(deg, dtype=bool)
             diff = z[:, None] - z[None, :]
             inv = jnp.where(eye, 0.0, 1.0 / jnp.where(eye, 1.0, diff))
             return jnp.sum(inv, axis=1)
-        chunk = 4096
+        chunk = max(512, min(4096, (1 << 26) // deg))
         nch = -(-deg // chunk)
         zp = jnp.pad(z, (0, nch * chunk - deg))
         idx = jnp.arange(deg)
@@ -282,18 +286,90 @@ def aberth_roots(coeffs, z0, num_iters: int = 80):
     # moving after the budget are nudged off the stagnation cycle by a
     # deterministic per-root phase kick and given the remaining sweeps.
     def restart(args):
-        z_, frozen_ = args
+        z_, frozen_, it_ = args
         kick = 1.0 + 64.0 * tol * jnp.cos(
             jnp.arange(deg, dtype=rdt) * 2.399963229728653)  # golden angle
         z_k = jnp.where(frozen_, z_, z_ * kick.astype(z_.dtype))
-        z2, _, _, _ = run(z_k, frozen_, num_iters // 2)
-        return z2
+        z2, _, _, it2 = run(z_k, frozen_, num_iters // 2)
+        # restart resumes the sweep counter at num_iters//2; report total
+        # executed sweeps = it (first phase) + (it2 - num_iters//2)
+        return z2, it_ + (it2 - num_iters // 2)
 
-    z = jax.lax.cond(jnp.all(frozen), lambda a: a[0], restart, (z, frozen))
+    z, it = jax.lax.cond(jnp.all(frozen), lambda a: (a[0], a[2]), restart,
+                         (z, frozen, it))
+    if return_iters:
+        return z, it
     return z
 
 
-def poly_roots(coeffs, num_iters: int = 80, init: str = "auto"):
+@jax.jit
+def root_residuals(coeffs, z):
+    """Per-root relative backward error ``eta_i`` of ``z`` w.r.t. ``coeffs``.
+
+    ``eta_i = |p(z_i)| / sum_k |c_k| |z_i|^k`` is the smallest relative
+    coefficient-wise perturbation making ``z_i`` an exact root (Mosier's
+    bound); eiscor is backward stable by construction, so certified Aberth
+    roots (``eta <= ~deg * eps``) match its contract. For ``|z| > 1`` the
+    reversed polynomial is used so nothing overflows.
+
+    Returns ``eta`` with the same shape as ``z`` (real dtype).
+    """
+    coeffs = jnp.asarray(coeffs)
+    cdt = complex_dtype_of(coeffs)
+    coeffs = coeffs.astype(cdt)
+    z = jnp.asarray(z).astype(cdt)
+    rdt = jnp.real(coeffs).dtype
+    deg = coeffs.shape[-1] - 1
+
+    inside = jnp.abs(z) <= 1.0
+    u = jnp.where(inside, z, 1.0 / jnp.where(z == 0, 1.0, z))
+    au = jnp.abs(u)
+
+    def eval_abs_pair(cs, x, ax):
+        """(p(x), sum_k |c_k| ax^k) block-Horner (cf. _block_eval_ratio)."""
+        n = cs.shape[-1]
+        nch = -(-n // _CHUNK)
+        pad = nch * _CHUNK - n
+        cs_p = jnp.pad(cs, (0, pad)).reshape(nch, _CHUNK)
+        ab_p = jnp.pad(jnp.abs(cs), (0, pad)).reshape(nch, _CHUNK)
+        xp = jnp.cumprod(jnp.concatenate(
+            [jnp.ones_like(x)[None], jnp.tile(x[None], (_CHUNK - 1, 1))], 0),
+            axis=0)
+        axp = jnp.cumprod(jnp.concatenate(
+            [jnp.ones_like(ax)[None], jnp.tile(ax[None], (_CHUNK - 1, 1))], 0),
+            axis=0)
+        inner_p = cs_p @ xp
+        inner_a = ab_p @ axp
+        x_l = xp[-1] * x
+        ax_l = axp[-1] * ax
+
+        def step(carry, inners):
+            accp, acca = carry
+            ip, ia = inners
+            return (accp * x_l + ip, acca * ax_l + ia), None
+
+        (pv, av), _ = jax.lax.scan(
+            step, (jnp.zeros_like(x), jnp.zeros_like(ax)),
+            (inner_p[::-1], inner_a[::-1]))
+        return pv, av
+
+    p_in, a_in = eval_abs_pair(coeffs, u, au)
+    p_rev, a_rev = eval_abs_pair(coeffs[::-1], u, au)
+    pv = jnp.where(inside, jnp.abs(p_in), jnp.abs(p_rev))
+    av = jnp.where(inside, a_in, a_rev)
+    return (pv / jnp.maximum(av, jnp.asarray(np.finfo(np.float64).tiny,
+                                             rdt))).astype(rdt)
+
+
+def certified_tol(deg: int, dtype=np.complex128) -> float:
+    """Default acceptance threshold for :func:`root_residuals`: a backward
+    error of O(deg * eps) is what a backward-stable method (eiscor)
+    guarantees; the 64x headroom absorbs Aberth's final-sweep noise."""
+    return 64.0 * max(deg, 1) * float(eps_of(np.dtype(dtype)))
+
+
+def poly_roots(coeffs, num_iters: int = 80, init: str = "auto",
+               return_residuals: bool = False):
     """All roots of a polynomial via Ehrlich-Aberth sweeps on device.
 
     Drop-in for the reference's poly_roots_fasteigen (eiscor). Initial
@@ -308,6 +384,10 @@ def poly_roots(coeffs, num_iters: int = 80, init: str = "auto"):
       work that a host core does quicker than a lax.scan.
     * ``"auto"`` (default) — ``"host"`` when the default backend is CPU,
       ``"device"`` otherwise.
+
+    With ``return_residuals=True`` also returns the per-root relative
+    backward error from :func:`root_residuals` (certificate contract:
+    accept roots with ``eta <= certified_tol(deg)``).
     """
     coeffs = jnp.asarray(coeffs)
     if init == "auto":
@@ -321,7 +401,10 @@ def poly_roots(coeffs, num_iters: int = 80, init: str = "auto"):
             z0 = jnp.asarray(_init(abs_c))
         except Exception:
             z0 = jnp.asarray(_newton_polygon_init(abs_c))
-    return aberth_roots(coeffs, z0, num_iters=num_iters)
+    roots = aberth_roots(coeffs, z0, num_iters=num_iters)
+    if return_residuals:
+        return roots, root_residuals(coeffs, roots)
+    return roots
 
 
 @partial(jax.jit, static_argnames=("num_iters",))
