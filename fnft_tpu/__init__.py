@@ -52,8 +52,15 @@ from fnft_tpu.models.nsev_inverse import (
 __version__ = "0.1.0"
 FNFT_REFERENCE_VERSION = (0, 4, 1, "")  # parity target: fnft_version.c:26-45
 
+
+def fnft_version():
+    """(major, minor, patch, suffix) — mirrors fnft_version (fnft_version.c:
+    26-45) / mex_fnft_version; suffix carries the TPU-rebuild marker."""
+    major, minor, patch = (int(x) for x in __version__.split("."))
+    return (major, minor, patch, "-tpu")
+
 __all__ = [
-    "nsev", "NsevOpts", "NsevResult",
+    "nsev", "NsevOpts", "NsevResult", "fnft_version",
     "nsep", "NsepOpts", "NsepResult",
     "kdvv", "KdvvOpts", "KdvvResult",
     "nsev_inverse", "nsev_inverse_xi_grid", "NsevInverseOpts",
