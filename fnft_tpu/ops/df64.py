@@ -240,6 +240,122 @@ _FFT_LOOP_THRESHOLD = 4  # lengths above this use the fori_loop body
 # distinct lengths per df64 tree the loop form cuts whole-pipeline XLA
 # compile from ~55 s to ~20 s at D=1024 and runs faster as well)
 
+_FFT_FOUR_STEP_THRESHOLD = 256  # lengths >= this use the four-step path
+
+
+def _fft_unrolled_last(x, n: int, sign: int):
+    """Unrolled radix-2 DIT along the last axis (no 1/n normalization).
+
+    One bit-reversal gather, then log2(n) reshape-based butterfly stages
+    (pure slices/concats — no index-computed gathers). Only used for the
+    four-step sub-lengths (<= ~2^10), so the traced op count stays small.
+    """
+    perm = jnp.asarray(_bit_reverse_indices(n))
+    x = jax.tree.map(lambda t: t[..., perm], x)
+    m = 1
+    while m < n:
+        blocks = n // (2 * m)
+
+        def reshaped(t):
+            return t.reshape(t.shape[:-1] + (blocks, 2, m))
+
+        xr = jax.tree.map(reshaped, x)
+        a = _cdf_index(xr, (Ellipsis, 0, slice(None)))
+        b = _cdf_index(xr, (Ellipsis, 1, slice(None)))
+        tw = _twiddles(2 * m, sign)  # w^j, j in [0, m)
+        t_ = cdf_mul(b, tw)
+        lo = cdf_add(a, t_)
+        hi = cdf_sub(a, t_)
+        x = jax.tree.map(
+            lambda l, h: jnp.stack([l, h], axis=-2).reshape(
+                l.shape[:-2] + (n,)),
+            lo, hi)
+        m *= 2
+    return x
+
+
+def _four_step_twiddle(n1: int, n2: int, sign: int):
+    """df64 twiddle plane T[j2, k1] = w_n^{j2 k1}, host-precomputed."""
+    j2 = np.arange(n2)[:, None]
+    k1 = np.arange(n1)[None, :]
+    w = np.exp(sign * 2j * np.pi * (j2 * k1) / (n1 * n2))
+    re, im = np.real(w), np.imag(w)
+    re_hi = re.astype(np.float32)
+    re_lo = (re - re_hi.astype(np.float64)).astype(np.float32)
+    im_hi = im.astype(np.float32)
+    im_lo = (im - im_hi.astype(np.float64)).astype(np.float32)
+    return ((jnp.asarray(re_hi), jnp.asarray(re_lo)),
+            (jnp.asarray(im_hi), jnp.asarray(im_lo)))
+
+
+def _radix3_twiddles(n: int, sign: int):
+    """Host df64 twiddle planes w^k and w^{2k}, k in [0, n)."""
+    k = np.arange(n)
+    out = []
+    for mult in (1, 2):
+        w = np.exp(sign * 2j * np.pi * (mult * k % n) / n)
+        re, im = np.real(w), np.imag(w)
+        re_hi = re.astype(np.float32)
+        re_lo = (re - re_hi.astype(np.float64)).astype(np.float32)
+        im_hi = im.astype(np.float32)
+        im_lo = (im - im_hi.astype(np.float64)).astype(np.float32)
+        out.append(((jnp.asarray(re_hi), jnp.asarray(re_lo)),
+                    (jnp.asarray(im_hi), jnp.asarray(im_lo))))
+    return out
+
+
+def _fft_radix3_split(x, n: int, sign: int):
+    """DIT 3-way split for n = 3 * 2^k: three power-of-two sub-FFTs plus
+    one twiddled combine. Lets the df64 tree use 3*2^k lengths instead of
+    padding all the way to the next power of two (up to 25% less work)."""
+    m = n // 3
+    x0 = jax.tree.map(lambda t: t[..., 0::3], x)
+    x1 = jax.tree.map(lambda t: t[..., 1::3], x)
+    x2 = jax.tree.map(lambda t: t[..., 2::3], x)
+    f0 = _fft_pow2(x0, m, sign)
+    f1 = _fft_pow2(x1, m, sign)
+    f2 = _fft_pow2(x2, m, sign)
+    w1, w2 = _radix3_twiddles(n, sign)
+
+    def tile3(z):
+        return jax.tree.map(
+            lambda t: jnp.concatenate([t, t, t], axis=-1), z)
+
+    t1 = cdf_mul(tile3(f1), w1)
+    t2 = cdf_mul(tile3(f2), w2)
+    return cdf_add(cdf_add(tile3(f0), t1), t2)
+
+
+def _fft_pow2(x, n: int, sign: int):
+    """Power-of-two FFT along the last axis, no normalization."""
+    if n >= _FFT_FOUR_STEP_THRESHOLD:
+        return _fft_four_step(x, n, sign)
+    return _fft_unrolled_last(x, n, sign)
+
+
+def _fft_four_step(x, n: int, sign: int):
+    """Bailey four-step FFT: n = n1*n2, two batched sub-FFTs + twiddle.
+
+    X[k2 n1 + k1] = sum_j2 [ (sum_j1 x[j1 n2 + j2] W_n1^{j1 k1})
+                             * w^{j2 k1} ] W_n2^{j2 k2}
+
+    Everything is reshapes/transposes plus unrolled sub-FFTs over a
+    batched axis — no index-computed gathers, so it vectorizes on the
+    VPU and lowers cleanly to the MXU-era TPU memory system.
+    """
+    n1 = 1 << (n.bit_length() - 1) // 2
+    n2 = n // n1
+    tw = _four_step_twiddle(n1, n2, sign)
+    # [..., n] -> [..., n1, n2] (j1 major) -> [..., n2, n1]
+    y = jax.tree.map(lambda t: t.reshape(t.shape[:-1] + (n1, n2))
+                     .swapaxes(-1, -2), x)
+    y = _fft_unrolled_last(y, n1, sign)          # A[..., j2, k1]
+    y = cdf_mul(y, tw)                           # * w^{j2 k1}
+    y = jax.tree.map(lambda t: t.swapaxes(-1, -2), y)  # [..., k1, j2]
+    y = _fft_unrolled_last(y, n2, sign)          # B[..., k1, k2]
+    return jax.tree.map(
+        lambda t: t.swapaxes(-1, -2).reshape(t.shape[:-2] + (n,)), y)
+
 
 @partial(jax.jit, static_argnames=("length", "inverse"))
 def fft_df64(z, length: int, *, inverse: bool = False):
@@ -253,9 +369,33 @@ def fft_df64(z, length: int, *, inverse: bool = False):
     ``z`` is ((re_hi, re_lo), (im_hi, im_lo)), trailing axis already
     padded to ``length``.
     """
-    assert length & (length - 1) == 0
     sign = 1 if inverse else -1
     n = length
+
+    if n % 3 == 0 and (n // 3) & (n // 3 - 1) == 0:
+        out = _fft_radix3_split(z, n, sign)
+        if inverse:
+            # 1/n is NOT a power of two here: a per-plane scale would
+            # corrupt the hi/lo invariant — do a df64 real multiply
+            inv_hi = np.float32(1.0 / n)
+            inv_lo = np.float32(1.0 / n - np.float64(inv_hi))
+            out = jax.tree.map(
+                lambda pair: df_mul(pair, (jnp.asarray(inv_hi),
+                                           jnp.asarray(inv_lo))),
+                out, is_leaf=lambda p: isinstance(p, tuple)
+                and len(p) == 2 and not isinstance(p[0], tuple))
+        return out
+
+    assert length & (length - 1) == 0, \
+        f"df64 FFT lengths must be 2^a or 3*2^a, got {length}"
+
+    if n >= _FFT_FOUR_STEP_THRESHOLD:
+        out = _fft_four_step(z, n, sign)
+        if inverse:
+            inv_n = 1.0 / n
+            out = jax.tree.map(lambda t: t * inv_n, out)
+        return out
+
     perm = jnp.asarray(_bit_reverse_indices(n))
     x = jax.tree.map(lambda t: t[..., perm], z)
 
@@ -314,6 +454,17 @@ def fft_df64(z, length: int, *, inverse: bool = False):
     return out
 
 
+def next_fft_length_df64(x: int) -> int:
+    """Smallest supported df64 FFT length >= x (2^a or 3*2^a)."""
+    if x <= 1:
+        return 1
+    p2 = 1 << (x - 1).bit_length()
+    third = (x + 2) // 3  # ceil(x/3)
+    p3 = 3 * (1 << (third - 1).bit_length() if third > 1 else 1)
+    assert p3 >= x
+    return min(p2, p3)
+
+
 def _pad_last(z, length):
     def f(t):
         pad = [(0, 0)] * (t.ndim - 1) + [(0, length - t.shape[-1])]
@@ -352,9 +503,8 @@ def fmult2x2_tree_df64(p):
     (coefficients complex128, w int32) with the same 2^w normalization
     semantics as :func:`fnft_tpu.ops.poly.fmult2x2_tree`.
     """
-    # radix-2 df64 FFT: lengths must be powers of two regardless of backend
     from fnft_tpu.utils.misc import next_power_of_2
-    next_fft_length = next_power_of_2
+    next_fft_length = next_fft_length_df64  # 2^a or 3*2^a lengths
 
     p = jnp.asarray(p)
     n = p.shape[0]

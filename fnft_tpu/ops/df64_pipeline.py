@@ -39,7 +39,7 @@ from fnft_tpu.ops.df64 import (
     fft_df64,
 )
 from fnft_tpu.ops.poly import _spiral_table
-from fnft_tpu.utils.misc import next_power_of_2 as next_fft_length  # df64 FFT is radix-2 only
+from fnft_tpu.ops.df64 import next_fft_length_df64 as next_fft_length  # 2^a or 3*2^a
 
 _SERIES_TERMS = 12
 
