@@ -34,6 +34,37 @@ from fnft_tpu.config import complex_dtype_of, eps_of
 _CHUNK = 64
 
 
+def _repulsion_chunked(z_all, z_t, t_idx, lowprec: bool = True):
+    """Aberth repulsion ``s_i = sum_{j != t_idx_i} 1/(z_t_i - z_all_j)``.
+
+    Chunked over ``j`` so the ``[m, chunk]`` distance block stays bounded
+    (<= 2^26 elements) at eiscor's worst-case degrees (~1e5). With
+    ``lowprec`` the reciprocal + row-sum run in complex64: the repulsion
+    term only steers the iteration *path* — the fixed point (p(z)=0, where
+    the Newton ratio w vanishes) is independent of s — so f32 precision
+    here is accuracy-neutral while halving the dominant O(deg^2) sweep
+    cost, and it is what the TPU's native f32 VPU/MXU lanes want.
+    Differences are formed in the full input precision first so tight
+    root clusters do not cancel in f32.
+    """
+    deg = z_all.shape[0]
+    m = z_t.shape[0]
+    chunk = max(512, min(1 << 16, (1 << 26) // max(m, 1)))
+    nch = -(-deg // chunk)
+    zp = jnp.pad(z_all, (0, nch * chunk - deg))
+    lo = jnp.complex64 if lowprec else z_all.dtype
+
+    def body(c, acc):
+        zc = jax.lax.dynamic_slice_in_dim(zp, c * chunk, chunk)
+        jc = c * chunk + jnp.arange(chunk)
+        diff = (z_t[:, None] - zc[None, :]).astype(lo)
+        bad = (t_idx[:, None] == jc[None, :]) | (jc[None, :] >= deg)
+        inv = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, diff))
+        return acc + jnp.sum(inv, axis=1).astype(z_all.dtype)
+
+    return jax.lax.fori_loop(0, nch, body, jnp.zeros_like(z_t))
+
+
 def _block_eval_ratio(coeffs, z):
     """w = p(z)/p'(z), evaluated stably for |z| inside/outside the unit disk.
 
@@ -231,29 +262,15 @@ def aberth_roots(coeffs, z0, num_iters: int = 80,
     tol = 100.0 * eps_of(cdt)
 
     def _pairwise_sum(z):
-        """sum_{j != i} 1/(z_i - z_j); chunked above 4096 roots to bound
-        the O(deg^2) distance matrix memory. The chunk width shrinks with
-        deg so the [deg, chunk] block stays <= ~2^26 elements (1 GiB in
-        c128) even at eiscor's worst case deg ~ 1e5."""
+        """sum_{j != i} 1/(z_i - z_j); dense (c128) below 4096 roots,
+        chunked complex64 above (see :func:`_repulsion_chunked` for why
+        low precision is safe and how memory stays bounded at deg ~1e5)."""
         if deg <= 4096:
             eye = jnp.eye(deg, dtype=bool)
             diff = z[:, None] - z[None, :]
             inv = jnp.where(eye, 0.0, 1.0 / jnp.where(eye, 1.0, diff))
             return jnp.sum(inv, axis=1)
-        chunk = max(512, min(4096, (1 << 26) // deg))
-        nch = -(-deg // chunk)
-        zp = jnp.pad(z, (0, nch * chunk - deg))
-        idx = jnp.arange(deg)
-
-        def body(c, acc):
-            zc = jax.lax.dynamic_slice_in_dim(zp, c * chunk, chunk)
-            jc = c * chunk + jnp.arange(chunk)
-            diff = z[:, None] - zc[None, :]
-            bad = (idx[:, None] == jc[None, :]) | (jc[None, :] >= deg)
-            inv = jnp.where(bad, 0.0, 1.0 / jnp.where(bad, 1.0, diff))
-            return acc + jnp.sum(inv, axis=1)
-
-        return jax.lax.fori_loop(0, nch, body, jnp.zeros_like(z))
+        return _repulsion_chunked(z, z, jnp.arange(deg))
 
     rdt = jnp.real(z0).dtype
 
@@ -297,6 +314,180 @@ def aberth_roots(coeffs, z0, num_iters: int = 80,
 
     z, it = jax.lax.cond(jnp.all(frozen), lambda a: (a[0], a[2]), restart,
                          (z, frozen, it))
+    if return_iters:
+        return z, it
+    return z
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _sweep_block(coeffs, z, frozen, k: int):
+    """Up to ``k`` full Ehrlich-Aberth sweeps (early exit on convergence).
+
+    One jitted stage of the host-staged driver. Returns
+    ``(z, frozen, moved, n_done)``.
+    """
+    coeffs = jnp.asarray(coeffs)
+    cdt = complex_dtype_of(coeffs)
+    deg = coeffs.shape[-1] - 1
+    tol = 100.0 * eps_of(cdt)
+    rdt = jnp.real(z).dtype
+    idx = jnp.arange(deg)
+
+    def sweep(state):
+        z, frozen, _, n = state
+        w = _block_eval_ratio(coeffs, z)
+        s = _repulsion_chunked(z, z, idx)
+        denom = 1.0 - w * s
+        corr = w / jnp.where(denom == 0, 1.0, denom)
+        z_new = jnp.where(frozen, z, z - corr)
+        rel = jnp.abs(corr) / jnp.maximum(jnp.abs(z_new), 1e-30)
+        frozen = frozen | (rel < tol)
+        moved = jnp.max(jnp.where(frozen, 0.0, rel))
+        return z_new, frozen, moved, n + 1
+
+    def cond(state):
+        _, _, moved, n = state
+        return (moved > tol) & (n < k)
+
+    return jax.lax.while_loop(
+        cond, sweep, (z, frozen, jnp.asarray(jnp.inf, rdt), jnp.int32(0)))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _polish_block(coeffs, z_full, idx, valid, k: int):
+    """Up to ``k`` active-set Aberth sweeps on the roots ``z_full[idx]``.
+
+    The deflation stage: only the (padded, static-``cap``) active tail
+    iterates — evaluation and repulsion cost O(cap * deg) per sweep
+    instead of O(deg^2) — while every root, frozen or not, keeps
+    repelling through the current ``z_full``. Padding entries of ``idx``
+    (marked ``valid=False``) hold the out-of-range index ``deg``: their
+    scatter updates are dropped by XLA and they are frozen from sweep
+    one, so they never touch real roots. (In-range duplicate padding
+    would race real updates in the scatter — do not use it.)
+
+    Returns ``(z_full, frozen_active, moved, n_done)``.
+    """
+    coeffs = jnp.asarray(coeffs)
+    cdt = complex_dtype_of(coeffs)
+    tol = 100.0 * eps_of(cdt)
+    rdt = jnp.real(z_full).dtype
+
+    def sweep(state):
+        z_full, za, frozen_a, _, n = state
+        w = _block_eval_ratio(coeffs, za)
+        s = _repulsion_chunked(z_full, za, idx)
+        denom = 1.0 - w * s
+        corr = w / jnp.where(denom == 0, 1.0, denom)
+        za_new = jnp.where(frozen_a, za, za - corr)
+        rel = jnp.abs(corr) / jnp.maximum(jnp.abs(za_new), 1e-30)
+        frozen_a = frozen_a | (rel < tol) | ~valid
+        moved = jnp.max(jnp.where(frozen_a, 0.0, rel))
+        z_full = z_full.at[idx].set(za_new)  # OOB padding rows drop
+        return z_full, za_new, frozen_a, moved, n + 1
+
+    def cond(state):
+        _, _, _, moved, n = state
+        return (moved > tol) & (n < k)
+
+    z_full, za, frozen_a, moved, n = jax.lax.while_loop(
+        cond, sweep,
+        (z_full, z_full[idx], jnp.zeros(idx.shape[0], bool),
+         jnp.asarray(jnp.inf, rdt), jnp.int32(0)))
+    return z_full, frozen_a, moved, n
+
+
+def aberth_roots_deflated(coeffs, z0, num_iters: int = 80, block: int = 3,
+                          deflate_frac: float = 0.5, min_cap: int = 256,
+                          return_iters: bool = False):
+    """Host-staged Ehrlich-Aberth with active-set deflation.
+
+    eiscor deflates converged roots out of its QR iteration
+    (src/3rd_party/eiscor/z_poly_roots_modified.f90:39-122); this is the
+    batched analogue for the large-degree regime (nsep monodromy reaches
+    deg = 105*Dsub ~ 1e5, src/fnft_nsep.c:534-556). Full sweeps run in
+    jitted blocks of ``block`` until at most ``deflate_frac`` of the
+    roots are still moving; after that only the unfrozen tail iterates
+    (:func:`_polish_block`), at O(cap * deg) per sweep with the active
+    capacity re-bucketed (powers of two) every ``block`` sweeps as the
+    tail shrinks. In the measured SPLIT7A monodromy family the frozen
+    fraction goes 61% -> 80% -> 89% -> 95% over sweeps 7-10 (of ~17), so
+    tracking the knee removes most of the O(deg^2) tail cost.
+
+    Semantics match :func:`aberth_roots` (same tolerance, freeze rule and
+    golden-angle stagnation kick); iteration budget ``num_iters`` may be
+    overshot by at most ``block - 1`` sweeps per stage boundary. The
+    host-side stage loop makes this function non-traceable — inside jit
+    use :func:`aberth_roots`.
+    """
+    coeffs = jnp.asarray(coeffs)
+    cdt = complex_dtype_of(coeffs)
+    coeffs = coeffs.astype(cdt)
+    z = jnp.asarray(z0).astype(cdt)
+    deg = coeffs.shape[-1] - 1
+    tol = 100.0 * eps_of(cdt)
+
+    def _polish_until(z, frozen_np, budget, it):
+        """Active-set stages until convergence or ``budget`` sweeps."""
+        done = 0
+        while done < budget:
+            idx_np = np.nonzero(~frozen_np)[0]
+            na = idx_np.size
+            if na == 0:
+                break
+            cap = max(min_cap, 1 << int(na - 1).bit_length())
+            if cap >= deg:
+                # tail not small enough for a gather win: full sweeps
+                frozen_j = jnp.asarray(frozen_np)
+                z, frozen_j, moved, n = _sweep_block(
+                    coeffs, z, frozen_j, block)
+                done += int(n)
+                it += int(n)
+                frozen_np = np.asarray(frozen_j)
+                if float(moved) <= tol:
+                    frozen_np[:] = True
+                    break
+                continue
+            idx_pad = np.full(cap, deg, np.int32)  # OOB: dropped scatters
+            idx_pad[:na] = idx_np
+            valid = np.zeros(cap, bool)
+            valid[:na] = True
+            z, frozen_a, moved, n = _polish_block(
+                coeffs, z, jnp.asarray(idx_pad), jnp.asarray(valid), block)
+            done += int(n)
+            it += int(n)
+            frozen_np = frozen_np.copy()
+            frozen_np[idx_np] = np.asarray(frozen_a)[:na]
+            if float(moved) <= tol:
+                frozen_np[idx_np] = True
+                break
+        return z, frozen_np, it
+
+    frozen = jnp.zeros(deg, bool)
+    it = 0
+    converged = False
+    while it < num_iters:
+        z, frozen, moved, n = _sweep_block(coeffs, z, frozen, block)
+        it += int(n)
+        if float(moved) <= tol:
+            converged = True
+            break
+        frozen_np = np.asarray(frozen)
+        if (~frozen_np).sum() <= deflate_frac * deg:
+            z, frozen_np, it = _polish_until(
+                z, frozen_np, num_iters - it, it)
+            converged = bool(frozen_np.all())
+            frozen = jnp.asarray(frozen_np)
+            break
+
+    # stagnation kick (cf. aberth_roots): nudge survivors off any cycle
+    # and grant num_iters // 2 extra polish sweeps.
+    frozen_np = np.asarray(frozen)
+    if not converged and not frozen_np.all():
+        idx_np = np.nonzero(~frozen_np)[0]
+        kick = 1.0 + 64.0 * tol * np.cos(idx_np * 2.399963229728653)
+        z = z.at[idx_np].multiply(kick.astype(np.asarray(z0).real.dtype))
+        z, frozen_np, it = _polish_until(z, frozen_np, num_iters // 2, it)
     if return_iters:
         return z, it
     return z
@@ -390,8 +581,10 @@ def poly_roots(coeffs, num_iters: int = 80, init: str = "auto",
     accept roots with ``eta <= certified_tol(deg)``).
     """
     coeffs = jnp.asarray(coeffs)
+    traced = isinstance(coeffs, jax.core.Tracer)
     if init == "auto":
-        init = "host" if jax.default_backend() == "cpu" else "device"
+        init = "host" if (jax.default_backend() == "cpu" and not traced) \
+            else "device"
     if init == "device":
         z0 = newton_polygon_init_jax(coeffs)
     else:
@@ -401,7 +594,11 @@ def poly_roots(coeffs, num_iters: int = 80, init: str = "auto",
             z0 = jnp.asarray(_init(abs_c))
         except Exception:
             z0 = jnp.asarray(_newton_polygon_init(abs_c))
-    roots = aberth_roots(coeffs, z0, num_iters=num_iters)
+    if coeffs.shape[-1] - 1 > 16384 and not traced:
+        # eiscor's large-degree regime: host-staged active-set deflation
+        roots = aberth_roots_deflated(coeffs, z0, num_iters=num_iters)
+    else:
+        roots = aberth_roots(coeffs, z0, num_iters=num_iters)
     if return_residuals:
         return roots, root_residuals(coeffs, roots)
     return roots
