@@ -17,3 +17,7 @@ from fnft_tpu.parallel.dshard_boundstates import (  # noqa: F401
     dshard_boundstates_reference,
     make_dshard_boundstates,
 )
+from fnft_tpu.parallel.dshard_nsep import (  # noqa: F401
+    dshard_nsep_reference,
+    make_dshard_nsep_refine,
+)
