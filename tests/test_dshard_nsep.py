@@ -14,6 +14,8 @@ Two tiers:
   fnft__nsep_testcases.c:118-151).
 """
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -130,6 +132,33 @@ def test_dshard_nsep_driver_equivalence():
     err = max(float(np.min(np.abs(main - e))) for e in exact_m
               if np.abs(e.real + 1.5) > 0.2 or np.abs(e.imag) > 0.2)
     assert err < 5e-2, err
+
+
+@pytest.mark.skipif(os.environ.get("FNFT_SLOW_TESTS") != "1",
+                    reason="D=2^16 sharded nsep: minutes")
+def test_dshard_nsep_at_scale():
+    """D=2^16 plane wave: the sharded S&R driver localizes the closed-form
+    spectrum (the operating point multi-chip exists for)."""
+    d = 1 << 16
+    disc = ft.Discretization.SPLIT2A
+    q, t_span, ms_exact, aux_exact, *_ = _setup(d, disc)
+    opts = ft.NsepOpts(localization=ft.Localization.SUBSAMPLE_AND_REFINE,
+                       filtering=ft.PointFilter.MANUAL, bounding_box=BOX,
+                       discretization=disc)
+    mesh = make_mesh(axis_names=("seq",))
+    main, aux = dshard_nsep_reference(jnp.asarray(q), t_span, mesh,
+                                      kappa=+1, opts=opts)
+    assert main.size and aux.size
+    exact_m = ms_exact[(np.abs(ms_exact.real) < 5)
+                       & (np.abs(ms_exact.imag) < 5)]
+    err = max(float(np.min(np.abs(main - e))) for e in exact_m
+              if np.abs(e.real + 1.5) > 0.2 or np.abs(e.imag) > 0.2)
+    assert err < 2e-3, err
+    exact_a = aux_exact[(np.abs(aux_exact.real) < 5)
+                        & (np.abs(aux_exact.imag) < 5)]
+    err_a = max(float(np.min(np.abs(aux - e))) for e in exact_a
+                if np.abs(e.imag) > 0.2)
+    assert err_a < 2e-3, err_a
 
 
 def test_dshard_nsep_rejects_indivisible():
