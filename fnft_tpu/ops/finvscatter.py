@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from fnft_tpu.config import complex_dtype_of
 from fnft_tpu.models.discretization import Discretization, degree
+from fnft_tpu.ops.poly import _mat2x2_mul
 from fnft_tpu.utils.misc import next_fft_length
 
 _FFT_THRESHOLD = 32  # below this degree, direct convolution traces leaner
@@ -39,14 +40,14 @@ def _polymatmul(a, b, out_len=None):
         # convolution matrix implicitly with padding + gather-free slices
         out = jnp.zeros(a.shape[:-1] + (n_out,), dtype=a.dtype)
         for s in range(ca):
-            seg = jnp.einsum("...ik,...kjc->...ijc", a[..., s], b)
+            seg = _mat2x2_mul(a[..., s:s + 1], b)
             out = out.at[..., s:s + cb].add(seg)
     else:
         length = next_fft_length(n_out)
         fa = jnp.fft.fft(a, n=length, axis=-1)
         fb = jnp.fft.fft(b, n=length, axis=-1)
         out = jnp.fft.ifft(
-            jnp.einsum("...ikc,...kjc->...ijc", fa, fb), axis=-1
+            _mat2x2_mul(fa, fb), axis=-1
         )[..., :n_out].astype(a.dtype)
     if out_len is not None:
         out = out[..., :out_len]

@@ -79,6 +79,54 @@ def transfer_matrix_coeffs(q, r, eps_t: float, disc: Discretization):
         out = out.at[..., 1, 1, 1].set(scl)
         return out
 
+    if disc is Discretization.SPLIT2A:
+        # P = E(1) Z: one fused elementwise pass (hot default path)
+        h = eps_t  # deg == 1
+        delta = h * jnp.sqrt(-q * r)
+        c = jnp.cos(delta)
+        s = h * csinc(delta)
+        out = jnp.zeros(q.shape + (2, 2, 2), dtype=cdt)
+        out = out.at[..., 0, 0, 0].set(c)
+        out = out.at[..., 0, 1, 1].set(q * s)
+        out = out.at[..., 1, 0, 0].set(r * s)
+        out = out.at[..., 1, 1, 1].set(c)
+        return out
+
+    if disc is Discretization.SPLIT4B:
+        # Closed form of -1/3 E(1) Z^2 E(1) + 4/3 E(1/2) Z E(1) Z E(1/2)
+        # (deg = 2, E(a) = expm([[0,q],[r,0]] a eps_t/2)). The product is
+        # palindromic: P11 is the coefficient-reverse of P00 and
+        # P01/q == P10/r, so only 5 distinct arrays are computed — one
+        # fused elementwise pass instead of the generic combinator's
+        # many intermediate [D, 2, 2, c] products.
+        qr = q * r
+        d1 = (eps_t / 2) * jnp.sqrt(-qr)
+        c1 = jnp.cos(d1)
+        s1 = (eps_t / 2) * csinc(d1)
+        dh = d1 / 2
+        ch = jnp.cos(dh)
+        sh = (eps_t / 4) * csinc(dh)
+        third = 1.0 / 3.0
+        u0 = (4.0 * third) * ch * ch * c1 - third * c1 * c1
+        u1 = (8.0 * third) * qr * ch * sh * s1
+        u2 = (4.0 * third) * qr * sh * sh * c1 - third * qr * s1 * s1
+        g0 = (4.0 * third) * ch * sh * c1 - third * c1 * s1
+        g1 = (4.0 * third) * (qr * sh * sh * s1 + ch * ch * s1)
+        out = jnp.zeros(q.shape + (2, 2, 3), dtype=cdt)
+        out = out.at[..., 0, 0, 0].set(u0)
+        out = out.at[..., 0, 0, 1].set(u1)
+        out = out.at[..., 0, 0, 2].set(u2)
+        out = out.at[..., 0, 1, 0].set(q * g0)
+        out = out.at[..., 0, 1, 1].set(q * g1)
+        out = out.at[..., 0, 1, 2].set(q * g0)
+        out = out.at[..., 1, 0, 0].set(r * g0)
+        out = out.at[..., 1, 0, 1].set(r * g1)
+        out = out.at[..., 1, 0, 2].set(r * g0)
+        out = out.at[..., 1, 1, 0].set(u2)
+        out = out.at[..., 1, 1, 1].set(u1)
+        out = out.at[..., 1, 1, 2].set(u0)
+        return out
+
     spec = splitting_spec(disc)
     # distinct E weights used by the scheme
     e_weights = sorted({a for _, fs in spec for kind, a in fs if kind == "E"})

@@ -54,6 +54,23 @@ def _conv_cutoff() -> int:
     return 32 if jax.default_backend() == "cpu" else 16
 
 
+def _mat2x2_mul(b, a):
+    """Explicit (b @ a) over [..., 2, 2, L] stacks, elementwise on L.
+
+    Written out rather than einsum'd: a 2-length contracting dimension
+    defeats XLA's elementwise fusion (measured 11x slower on XLA:CPU at
+    L = 2^21), while the explicit form is one fused pass.
+    """
+    b00, b01 = b[..., 0, 0, :], b[..., 0, 1, :]
+    b10, b11 = b[..., 1, 0, :], b[..., 1, 1, :]
+    a00, a01 = a[..., 0, 0, :], a[..., 0, 1, :]
+    a10, a11 = a[..., 1, 0, :], a[..., 1, 1, :]
+    return jnp.stack([
+        jnp.stack([b00 * a00 + b01 * a10, b00 * a01 + b01 * a11], axis=-2),
+        jnp.stack([b10 * a00 + b11 * a10, b10 * a01 + b11 * a11], axis=-2),
+    ], axis=-3)
+
+
 def _matpoly_product(b, a):
     """(b @ a)(z) for two [..., 2, 2, c] stacks -> [..., 2, 2, 2c-1]."""
     c = a.shape[-1]
@@ -61,13 +78,13 @@ def _matpoly_product(b, a):
         out = jnp.zeros(a.shape[:-1] + (2 * c - 1,), dtype=a.dtype)
         for s in range(c):
             out = out.at[..., s: s + c].add(
-                jnp.einsum("...ik,...kjc->...ijc", b[..., s], a))
+                _mat2x2_mul(b[..., s: s + 1], a))
         return out
     length = next_fft_length(2 * c - 1)
     fa = jnp.fft.fft(a, n=length, axis=-1)
     fb = jnp.fft.fft(b, n=length, axis=-1)
     # pointwise product in the FFT domain (8 poly products, shared FFTs)
-    fc = jnp.einsum("...ikl,...kjl->...ijl", fb, fa)
+    fc = _mat2x2_mul(fb, fa)
     return jnp.fft.ifft(fc, axis=-1)[..., : 2 * c - 1].astype(a.dtype)
 
 
