@@ -161,6 +161,8 @@ def _refine_mainspec_loop(q_eff, r_eff, lam0, rhs, tol, eps_t, iters,
     """The whole mainspec Newton sweep as one XLA program (one dispatch
     instead of ``iters`` host round-trips)."""
     k = lam0.shape[0]
+    # match the pipeline dtype: a float64 rhs would promote the c64 carry
+    rhs = jnp.asarray(rhs).astype(jnp.real(lam0).dtype)
     rhs2 = jnp.concatenate([rhs, rhs]) if rhs.ndim == 1 else rhs
     f, fp = _eval_floquet(q_eff, r_eff, lam0, eps_t, base_disc)
     f = f + rhs
@@ -231,10 +233,20 @@ def _refine_auxspec(q_eff, r_eff, lam0, eps_t, tol, max_evals, base_disc):
     return np.asarray(lam)
 
 
-def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
-                          want_aux, skip_real):
+def _sr_localize(q_pre, eps_t, d, kappa, box, opts, want_main, want_aux,
+                 skip_real):
+    """Replicated S&R localization stage, shared by the single-device
+    driver and parallel.dshard_nsep: subsampled fast monodromy, one
+    batched Aberth dispatch over all spines + aux, per-spine candidate
+    pre-filtering and aux backward-error certification.
+
+    Returns ``(lam_cat, rhs_cat, aux_lam, ctx)`` where ``lam_cat``/
+    ``rhs_cat`` are the main-spectrum Newton candidates with per-point
+    spine values, ``aux_lam`` the certified aux candidates, and ``ctx``
+    a dict with q_eff/r_eff/box/refine_tol/base/iters/post_filter.
+    ``lam_cat``/``aux_lam`` are None when not wanted.
+    """
     disc = opts.discretization
-    ups = upsampling_factor(disc)
     q_eff, r_eff, _, _ = nse.preprocess_signal(q_pre, eps_t, kappa, disc)
 
     dsub = opts.dsub
@@ -242,7 +254,7 @@ def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
         dsub = int(2.0 ** math.ceil(0.5 * math.log2(d * math.log2(d) ** 2)))
     else:
         dsub = int(2.0 ** round(math.log2(dsub)))
-    qs_eff, rs_eff, dsub_act, (i0, i1) = nse.preprocess_signal(
+    qs_eff, rs_eff, dsub_act, _ = nse.preprocess_signal(
         q_pre, eps_t, kappa, disc, dsub)
     nskip = d // dsub_act
     eps_t_sub = nskip * eps_t
@@ -257,8 +269,7 @@ def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
     cdt = complex_dtype_of(q_pre)
     refine_tol = math.sqrt(eps_of(cdt)) if opts.tol < 0 else opts.tol
     base = nse.newton_base_discretization(disc)
-    d_eff_full = q_eff.shape[-1]
-    assert d_eff_full == d * ups
+    assert q_eff.shape[-1] == d * upsampling_factor(disc)
 
     def post_filter(lam):
         if opts.filtering is not PointFilter.NONE:
@@ -271,7 +282,6 @@ def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
     # batched Aberth dispatch: the reference calls eiscor once per spine
     # (fnft_nsep.c:556-608); a per-call host round-trip would stall a TPU
     # pipeline, so the per-spine polynomials are stacked instead.
-    main = aux = None
     rhs_vals = np.zeros(0)
     polys = []
     if want_main:
@@ -288,17 +298,20 @@ def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
         polys.append(p_all)
     if want_aux:
         polys.append(tm[0, 1][None, :])
+    ctx = dict(q_eff=q_eff, r_eff=r_eff, box=box, refine_tol=refine_tol,
+               base=base, max_evals=opts.max_evals, post_filter=post_filter)
     if not polys:  # e.g. MIXED with kappa=-1 and want_aux=False
-        return None, None, box
+        return None, None, None, ctx
     roots_all = poly_roots_batched(jnp.concatenate(polys, axis=0))
     lam_all = np.asarray(
         z_to_lambda(roots_all.reshape(-1), eps_t_sub, disc)
     ).reshape(roots_all.shape)
 
+    lam_cat = rhs_cat = aux_lam = None
     if want_main:
         nvals = len(rhs_vals)
-        # pre-filter each spine's roots, then refine every survivor in a
-        # single vectorized Newton call with a per-point rhs
+        # pre-filter each spine's roots; every survivor goes into one
+        # vectorized Newton call with a per-point rhs
         lam_parts, rhs_parts = [], []
         for nval in range(nvals):
             lam = post_filter(lam_all[nval])
@@ -306,22 +319,35 @@ def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
             rhs_parts.append(np.full(lam.shape, -rhs_vals[nval]))
         lam_cat = np.concatenate(lam_parts) if lam_parts else np.zeros(0, complex)
         rhs_cat = np.concatenate(rhs_parts) if rhs_parts else np.zeros(0)
-        lam_ref = _refine_mainspec(q_eff, r_eff, lam_cat, eps_t,
-                                   jnp.asarray(rhs_cat), refine_tol,
-                                   opts.max_evals, base)
-        main = post_filter(lam_ref)
     if want_aux:
         # per-root backward-error certificate: uncertified Aberth outputs
         # (eta > O(deg*eps)) are spurious — unlike the main spectrum, the
         # aux path has no spine cross-check, so drop them before Newton
         eta = np.asarray(root_residuals(tm[0, 1], roots_all[-1]))
-        lam = lam_all[-1][eta <= certified_tol(deg)]
+        aux_lam = lam_all[-1][eta <= certified_tol(deg, cdt)]
         if opts.filtering is not PointFilter.NONE:
-            lam = _filter_np(lam, box)
-        lam = _refine_auxspec(q_eff, r_eff, lam, eps_t, refine_tol,
-                              opts.max_evals, base)
+            aux_lam = _filter_np(aux_lam, box)
+    return lam_cat, rhs_cat, aux_lam, ctx
+
+
+def _subsample_and_refine(q_pre, eps_t, d, kappa, box, opts, want_main,
+                          want_aux, skip_real):
+    lam_cat, rhs_cat, aux_lam, ctx = _sr_localize(
+        q_pre, eps_t, d, kappa, box, opts, want_main, want_aux, skip_real)
+    q_eff, r_eff = ctx["q_eff"], ctx["r_eff"]
+    post_filter = ctx["post_filter"]
+    main = aux = None
+    if lam_cat is not None:
+        lam_ref = _refine_mainspec(q_eff, r_eff, lam_cat, eps_t,
+                                   jnp.asarray(rhs_cat), ctx["refine_tol"],
+                                   ctx["max_evals"], ctx["base"])
+        main = post_filter(lam_ref)
+    if aux_lam is not None:
+        lam = _refine_auxspec(q_eff, r_eff, aux_lam, eps_t,
+                              ctx["refine_tol"], ctx["max_evals"],
+                              ctx["base"])
         aux = post_filter(lam)
-    return main, aux, box
+    return main, aux, ctx["box"]
 
 
 def nsep(q, t_span, *, kappa: int = +1, phase_shift: float = 0.0,

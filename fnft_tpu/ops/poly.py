@@ -154,7 +154,10 @@ def _pallas_hw_validated() -> bool:
                 rec = json.loads(ln)
             except json.JSONDecodeError:
                 continue
-            if rec.get("name") == "pallas_hw_validation" and rec.get("agree"):
+            if (rec.get("name") == "pallas_hw_validation" and rec.get("agree")
+                    and rec.get("platform") == "tpu"):
+                # platform check matters: a degraded tunnel can silently
+                # fall back to CPU, where agreement is trivially true
                 return True
     except OSError:
         pass

@@ -443,7 +443,8 @@ def aberth_roots_deflated(coeffs, z0, num_iters: int = 80, block: int = 3,
                     coeffs, z, frozen_j, block)
                 done += int(n)
                 it += int(n)
-                frozen_np = np.asarray(frozen_j)
+                # .copy(): np.asarray of a jax array is a read-only view
+                frozen_np = np.asarray(frozen_j).copy()
                 if float(moved) <= tol:
                     frozen_np[:] = True
                     break

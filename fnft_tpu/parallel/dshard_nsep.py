@@ -28,8 +28,6 @@ independent of the full-D axis this module shards.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,8 +38,6 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from fnft_tpu.config import complex_dtype_of, eps_of
-from fnft_tpu.models import nse
 from fnft_tpu.models.discretization import Discretization, upsampling_factor
 from fnft_tpu.ops.scatter import (
     _family_inputs,
@@ -92,6 +88,8 @@ def make_dshard_nsep_refine(d: int, mesh: Mesh, *, eps_t: float,
 
     def main_body(q_loc, r_loc, lam0, rhs, tol):
         k = lam0.shape[0]
+        # match the pipeline dtype: float64 rhs would promote a c64 carry
+        rhs = jnp.asarray(rhs).astype(jnp.real(lam0).dtype)
         rhs2 = jnp.concatenate([rhs, rhs])
 
         def floquet(lam):
@@ -195,7 +193,6 @@ def dshard_nsep_reference(q, t_span, mesh, *, kappa: int = +1,
                                     root_residuals)
 
     opts = opts or m.NsepOpts()
-    disc = opts.discretization
     q = jnp.asarray(q)
     d = q.shape[-1]
     t0, t1 = float(t_span[0]), float(t_span[1])
@@ -211,85 +208,35 @@ def dshard_nsep_reference(q, t_span, mesh, *, kappa: int = +1,
         box[1] -= lam_shift
     box = tuple(box)
 
-    # ---- replicated subsampled localization (nsep.py:234-296) ----------
-    ups = upsampling_factor(disc)
-    q_eff, r_eff, _, _ = nse.preprocess_signal(q_pre, eps_t, kappa, disc)
-    dsub = opts.dsub
-    if dsub == 0:
-        dsub = int(2.0 ** math.ceil(0.5 * math.log2(d * math.log2(d) ** 2)))
-    else:
-        dsub = int(2.0 ** round(math.log2(dsub)))
-    qs_eff, rs_eff, dsub_act, _ = nse.preprocess_signal(
-        q_pre, eps_t, kappa, disc, dsub)
-    nskip = d // dsub_act
-    eps_t_sub = nskip * eps_t
-
-    tm, w = fscatter(qs_eff, rs_eff, eps_t_sub, disc,
-                     normalize=getattr(opts, 'normalization_flag', True))
-    deg = tm.shape[-1] - 1
-    map_coeff = 2.0 / degree(disc)
-    if opts.filtering is m.PointFilter.AUTO:
-        box = m._auto_box(eps_t_sub, map_coeff)
-    tol_im = (box[1] - box[0]) / (m.OVERSAMPLING * (d - 1))
-    cdt = complex_dtype_of(q_pre)
-    refine_tol = math.sqrt(eps_of(cdt)) if opts.tol < 0 else opts.tol
-    base = nse.newton_base_discretization(disc)
+    # replicated subsampled localization — shared with the single-device
+    # driver (models.nsep._sr_localize); only the full-D Newton refinement
+    # below runs sharded
+    lam_cat, rhs_cat, aux_lam, ctx = m._sr_localize(
+        q_pre, eps_t, d, kappa, box, opts, want_main, want_aux, skip_real)
+    q_eff, r_eff = ctx["q_eff"], ctx["r_eff"]
+    post_filter = ctx["post_filter"]
+    base = ctx["base"]
+    refine_tol = ctx["refine_tol"]
     iters = max(1, (opts.max_evals - 1) // 2)
 
     refine_main, refine_aux = make_dshard_nsep_refine(
         d, mesh, eps_t=eps_t, base_disc=base,
         iters_main=iters, iters_aux=opts.max_evals, seq_axis=seq_axis)
 
-    def post_filter(lam):
-        if opts.filtering is not m.PointFilter.NONE:
-            lam = m._filter_np(lam, box)
-        return lam[np.abs(np.imag(lam)) > tol_im] if skip_real else lam
-
     main = aux = None
-    rhs_vals = np.zeros(0)
-    polys = []
-    if want_main:
-        p = m._monodromy_poly(tm[0, 0], w)
-        center = p[deg // 2]
-        scale = 2.0 ** (-int(w))
-        rhs0, rhs1 = opts.floquet_range
-        nvals = opts.points_per_spine
-        step = (rhs1 - rhs0) / (nvals - 1) if nvals > 1 else 0.0
-        rhs_vals = 2.0 * (rhs0 + step * np.arange(nvals))
-        p_all = jnp.tile(p[None, :], (nvals, 1))
-        p_all = p_all.at[:, deg // 2].set(
-            center - jnp.asarray(rhs_vals).astype(p.dtype) * scale)
-        polys.append(p_all)
-    if want_aux:
-        polys.append(tm[0, 1][None, :])
-    roots_all = poly_roots_batched(jnp.concatenate(polys, axis=0))
-    lam_all = np.asarray(
-        z_to_lambda(roots_all.reshape(-1), eps_t_sub, disc)
-    ).reshape(roots_all.shape)
-
-    if want_main:
-        lam_parts, rhs_parts = [], []
-        for nval in range(len(rhs_vals)):
-            lam = post_filter(lam_all[nval])
-            lam_parts.append(lam)
-            rhs_parts.append(np.full(lam.shape, -rhs_vals[nval]))
-        lam_cat = np.concatenate(lam_parts)
-        rhs_cat = np.concatenate(rhs_parts)
+    if lam_cat is not None:
         if lam_cat.size:
             lam_ref = refine_main(q_eff, r_eff, jnp.asarray(lam_cat),
                                   jnp.asarray(rhs_cat), refine_tol)
             main = post_filter(np.asarray(lam_ref))
         else:
             main = lam_cat
-    if want_aux:
-        eta = np.asarray(root_residuals(tm[0, 1], roots_all[-1]))
-        lam = lam_all[-1][eta <= certified_tol(deg)]
-        if opts.filtering is not m.PointFilter.NONE:
-            lam = m._filter_np(lam, box)
-        if lam.size:
-            lam = np.asarray(refine_aux(q_eff, r_eff, jnp.asarray(lam),
-                                        refine_tol))
-        aux = post_filter(lam)
+    if aux_lam is not None:
+        if aux_lam.size:
+            aux_lam = np.asarray(refine_aux(q_eff, r_eff,
+                                            jnp.asarray(aux_lam),
+                                            refine_tol))
+        aux = post_filter(aux_lam)
     if main is not None:
         main = main + lam_shift
     if aux is not None:

@@ -172,3 +172,26 @@ def test_nsep_defocusing_main_only_no_crash():
     r = ft.nsep(jnp.asarray(q), (0.0, 2 * np.pi), kappa=-1, want_aux=False)
     assert r.aux_spectrum is None
     assert r.main_spectrum is not None
+
+
+def test_nsep_complex64_aux_not_dropped():
+    """complex64 (TPU-production) pipeline: the aux backward-error
+    certificate must use the pipeline dtype's eps — with complex128 eps
+    every c64 aux root was silently dropped (round-3 review finding)."""
+    d = 256
+    t_span = (0.0, 2 * np.pi)
+    t = (t_span[1] - t_span[0]) / d * np.arange(d)
+    q = (2.0 * np.exp(3j * t)).astype(np.complex64)
+    opts = ft.NsepOpts(localization=ft.Localization.SUBSAMPLE_AND_REFINE,
+                       filtering=ft.PointFilter.MANUAL,
+                       bounding_box=(-5.0, 5.0, -5.0, 5.0))
+    res = ft.nsep(jnp.asarray(q), t_span, kappa=+1, opts=opts)
+    assert res.aux_spectrum.size > 0
+    assert res.aux_spectrum.dtype == np.complex64
+    j = np.arange(1, 50)
+    sq = np.sqrt(4 - j * j / 4.0 + 0j)
+    aux_e = np.concatenate([-1.5 + 1j * sq, -1.5 - 1j * sq])
+    aux_e = aux_e[(np.abs(aux_e.real) < 5) & (np.abs(aux_e.imag) < 5)]
+    err = max(float(np.min(np.abs(res.aux_spectrum - e)))
+              for e in aux_e if abs(e.imag) > 0.3)
+    assert err < 5e-3, err

@@ -246,3 +246,19 @@ def test_split7a_monodromy_at_eiscor_ceiling():
     keep = lam[(np.abs(lam.real) < 2) & (lam.imag > 0.2) & (lam.imag < 5)]
     dists = np.array([np.min(np.abs(keep - e)) for e in exact])
     assert np.all(dists < 1e-3), dists
+
+
+def test_deflated_full_sweep_convergence_branch():
+    """Small degree with cap >= deg exercises _polish_until's full-sweep
+    branch; its convergence path wrote into a read-only numpy view of a
+    JAX array before round 3's fix."""
+    from fnft_tpu.ops.roots import (aberth_roots_deflated, certified_tol,
+                                    newton_polygon_init_jax, root_residuals)
+
+    roots = np.exp(2j * np.pi * np.arange(159) / 159)
+    roots = np.concatenate([roots, [3 + 0.7j]])
+    coeffs = jnp.asarray(np.polynomial.polynomial.polyfromroots(roots))
+    z0 = newton_polygon_init_jax(coeffs)
+    z = aberth_roots_deflated(coeffs, z0, num_iters=200)
+    eta = np.asarray(root_residuals(coeffs, z))
+    assert np.mean(eta <= certified_tol(160)) == 1.0
