@@ -63,7 +63,7 @@ def kdvv_bound_states(u, t_span, *, opts: KdvvOpts | None = None,
     d = u.shape[-1]
     t0, t1 = float(t_span[0]), float(t_span[1])
     eps_t = (t1 - t0) / (d - 1)
-    tm, _ = kdv_fscatter(u, eps_t, disc)
+    tm, _ = kdv_fscatter(u, eps_t, disc, want=((0, 0),))
     roots_z = poly_roots(tm[0, 0])
     lam = np.asarray(z_to_lambda(roots_z, eps_t, disc))
     # keep near-imaginary-axis roots with positive imaginary part, inside
@@ -78,14 +78,14 @@ def kdvv_bound_states(u, t_span, *, opts: KdvvOpts | None = None,
 
 
 def kdv_fscatter(u, eps_t: float, disc: Discretization,
-                 *, normalize: bool = True):
+                 *, normalize: bool = True, want=None):
     """KdV polynomial scattering matrix: r = -1 then the AKNS kernel
     (reference fnft__kdv_fscatter.c:36-83)."""
     from fnft_tpu.ops.fscatter import fscatter as akns_fscatter
 
     u = jnp.asarray(u)
     return akns_fscatter(u, -jnp.ones_like(u), eps_t, disc,
-                         normalize=normalize)
+                         normalize=normalize, want=want)
 
 
 def kdv_scatter_matrix(q, lam, eps_t: float,
@@ -127,7 +127,7 @@ def kdvv(u, t_span, *, m: int, xi_span, opts: KdvvOpts | None = None) -> KdvvRes
     eps_xi = (xi1 - xi0) / (m - 1)
     deg1 = degree(disc)
 
-    tm, _ = kdv_fscatter(u, eps_t, disc)
+    tm, _ = kdv_fscatter(u, eps_t, disc, want=((0, 1), (1, 1)))
 
     # evaluate H12, H22 at z(-xi_i), xi_i = xi0 + i eps_xi
     a_pt = complex(np.exp(-2j * xi0 * eps_t / deg1))

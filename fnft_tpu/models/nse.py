@@ -149,14 +149,14 @@ def phase_factor_b(eps_t: float, d_given: int, t0: float, t1: float,
 
 
 def fscatter(q, eps_t: float, kappa: int, disc: Discretization,
-             *, normalize: bool = True):
+             *, normalize: bool = True, want=None):
     """NSE polynomial scattering matrix: builds r = -kappa conj(q) and
     delegates to the AKNS kernel (reference fnft__nse_fscatter.c:34-91)."""
     from fnft_tpu.ops.fscatter import fscatter as akns_fscatter
 
     q = jnp.asarray(q)
     return akns_fscatter(q, -kappa * jnp.conj(q), eps_t, disc,
-                         normalize=normalize)
+                         normalize=normalize, want=want)
 
 
 def scatter_matrix(q, lam, eps_t: float, kappa: int, disc: Discretization,

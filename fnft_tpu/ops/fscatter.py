@@ -162,13 +162,16 @@ def transfer_matrix_coeffs(q, r, eps_t: float, disc: Discretization):
     return total
 
 
-@partial(jax.jit, static_argnames=("eps_t", "disc", "normalize"))
-def fscatter(q, r, eps_t: float, disc: Discretization, *, normalize: bool = True):
+@partial(jax.jit, static_argnames=("eps_t", "disc", "normalize", "want"))
+def fscatter(q, r, eps_t: float, disc: Discretization, *, normalize: bool = True,
+             want=None):
     """Combined polynomial scattering matrix of D samples.
 
     Returns (transfer_matrix ``[..., 2, 2, D*deg+1]``, w) with
     ``true = stored * 2**w``. Equivalent to fnft__akns_fscatter.c:64-925
-    followed by poly_fmult2x2.
+    followed by poly_fmult2x2.  ``want`` optionally names the (row, col)
+    entries the caller reads; the rest come back zero (saves final-size
+    inverse FFTs in the tree).
     """
     p = transfer_matrix_coeffs(q, r, eps_t, disc)
-    return fmult2x2_tree(p, normalize=normalize)
+    return fmult2x2_tree(p, normalize=normalize, want=want)

@@ -36,11 +36,15 @@ from fnft_tpu.utils.misc import next_fft_length, next_power_of_2
 # FFT-tree polynomial multiplication
 # ---------------------------------------------------------------------------
 
-def _rescale_exponents(coeffs, axes) -> jnp.ndarray:
-    """Integer exponents a with 2**a ~ max|coeffs| over ``axes`` (0 if zero)."""
-    max_abs = jnp.max(jnp.abs(coeffs), axis=axes)
+def _exp_from_max(max_abs) -> jnp.ndarray:
+    """Integer exponents a with 2**a ~ max_abs (0 where max_abs == 0)."""
     safe = jnp.where(max_abs > 0, max_abs, 1.0)
     return jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0).astype(jnp.int32)
+
+
+def _rescale_exponents(coeffs, axes) -> jnp.ndarray:
+    """Integer exponents a with 2**a ~ max|coeffs| over ``axes`` (0 if zero)."""
+    return _exp_from_max(jnp.max(jnp.abs(coeffs), axis=axes))
 
 
 _DIRECT_CONV_CUTOFF: int | None = None  # None = auto. With the explicit 2x2
@@ -105,6 +109,119 @@ def _tree_level_2x2(p, w, normalize: bool):
         prod = prod * scale[..., None, None, None]
         w = w + a_exp if w is not None else a_exp
     return prod, w
+
+
+# ---------------------------------------------------------------------------
+# Value-space tree levels
+#
+# Once the polynomials outgrow the direct-convolution cutoff, the tree
+# switches to a value representation on exact power-of-two-multiple grids:
+# each node is (V, t) where V holds the evaluations of its degree-<=N
+# polynomial at the N-th roots of unity and t is the z^N coefficient (the
+# one coefficient an N-point grid cannot resolve — it aliases onto z^0 and
+# is corrected exactly on the way out).  Per level, the product's values at
+# the EVEN points of the doubled 2N grid are the pointwise 2x2 products of
+# the factors' existing values (zero transforms); the ODD points cost one
+# IFFT + one twisted FFT of size N per matrix entry.  That is 16 size-N
+# transforms per pair instead of the classic 12 transforms of 5-smooth
+# length ~2.05N — ~35% less FFT work, all at FFT-friendliest sizes, with no
+# zero-padding (the reference pads to kiss_fft sizes instead,
+# fnft__poly_fmult.c:50-121).
+# ---------------------------------------------------------------------------
+
+_VALUE_TREE: bool | None = None  # None = auto (on); False forces classic
+
+
+def set_value_tree(enabled: bool | None) -> None:
+    """Force (True/False) or restore auto (None) the value-space tree."""
+    global _VALUE_TREE
+    if enabled is not _VALUE_TREE:
+        _VALUE_TREE = enabled
+        jax.clear_caches()  # flag is read at trace time
+
+
+def _value_tree_enabled() -> bool:
+    return _VALUE_TREE is not False
+
+
+def _value_enter(p):
+    """Coefficients ``[..., n, 2, 2, N+1]`` -> values ``(V, t)``.
+
+    V[..., k] = p(w_N^k) with w_N = exp(-2i pi/N); t = coefficient of z^N
+    (z^N == 1 at every grid point, hence the ``+ t``)."""
+    n_coef = p.shape[-1]
+    t = p[..., n_coef - 1]
+    V = jnp.fft.fft(p[..., : n_coef - 1], axis=-1) + t[..., None]
+    return V, t
+
+
+def _half_twiddle(n: int, cdt):
+    """w_{2N}^j = exp(-i pi j / N) for j = 0..N-1 (device-computed)."""
+    rdt = jnp.zeros((), cdt).real.dtype
+    ang = jnp.arange(n, dtype=rdt) * (math.pi / n)
+    return jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
+
+
+def _value_odd_bins(V, t, tw):
+    """Evaluations at the odd points of the 2N grid.
+
+    For p of degree <= N given by (V on the N grid, top coeff t):
+    p(w_{2N}^{2k+1}) = FFT_N(p_{0..N-1} * w_{2N}^j)_k - t, with
+    coefficients from one IFFT.  Two -t corrections fold into one pass:
+    IFFT(V)_0 aliases p_0 + t, and tw_0 == 1 with FFT_N(e_0) == 1, so
+    FFT_N(IFFT(V) * tw) = FFT_N(p_{0..N-1} * tw) + t; the top-coefficient
+    term itself contributes w_{2N}^{N(2k+1)} = -1, i.e. another -t."""
+    q = jnp.fft.ifft(V, axis=-1)
+    return jnp.fft.fft(q * tw, axis=-1) - (2.0 * t)[..., None]
+
+
+def _value_level(V, t, w, do_norm: bool):
+    """One tree level in value space: N-grid pairs -> 2N-grid products."""
+    Va, Vb = V[..., 0::2, :, :, :], V[..., 1::2, :, :, :]
+    ta, tb = t[..., 0::2, :, :], t[..., 1::2, :, :]
+    n = V.shape[-1]
+    tw = _half_twiddle(n, V.dtype)
+    even = _mat2x2_mul(Vb, Va)
+    odd = _mat2x2_mul(_value_odd_bins(Vb, tb, tw),
+                      _value_odd_bins(Va, ta, tw))
+    # 2N-grid point 2k is N-grid point k; point 2k+1 is the odd evaluation
+    V_out = jnp.stack([even, odd], axis=-1).reshape(
+        even.shape[:-1] + (2 * n,))
+    t_out = _mat2x2_mul(tb[..., None], ta[..., None])[..., 0]
+    if w is not None:
+        w = w[..., 0::2] + w[..., 1::2]
+    if do_norm:
+        max_abs = jnp.maximum(
+            jnp.max(jnp.abs(V_out), axis=(-3, -2, -1)),
+            jnp.max(jnp.abs(t_out), axis=(-2, -1)))
+        a_exp = _exp_from_max(max_abs)
+        scale = jnp.ldexp(jnp.asarray(1.0, jnp.real(V_out).dtype), -a_exp)
+        V_out = V_out * scale[..., None, None, None]
+        t_out = t_out * scale[..., None, None]
+        w = w + a_exp if w is not None else a_exp
+    return V_out, t_out, w
+
+
+def _value_exit(V, t, want=None):
+    """Values ``(V, t)`` on the N grid -> coefficients ``[..., N+1]``.
+
+    With ``want`` (a tuple of (row, col) matrix entries), only those
+    entries are inverse-transformed — the other entries of the returned
+    stack are zero.  The drivers typically consume one row or column of
+    the final transfer matrix, which saves top-size IFFTs."""
+    if want is not None:
+        Vs = jnp.stack([V[..., i, j, :] for i, j in want], axis=-2)
+        ts = jnp.stack([t[..., i, j] for i, j in want], axis=-1)
+        qs = jnp.fft.ifft(Vs, axis=-1)
+        qs = qs.at[..., 0].add(-ts)
+        qs = jnp.concatenate([qs, ts[..., None]], axis=-1)
+        out = jnp.zeros(V.shape[:-1] + (V.shape[-1] + 1,), dtype=V.dtype)
+        for k, (i, j) in enumerate(want):
+            out = out.at[..., i, j, :].set(qs[..., k, :])
+        return out
+    q = jnp.fft.ifft(V, axis=-1)
+    q = q.at[..., 0].add(-t)
+    return jnp.concatenate([q, t[..., None]], axis=-1)
 
 
 def _pad_to_power_of_2_2x2(p):
@@ -178,12 +295,15 @@ def _fused_levels_active() -> int:
     return _FUSED_AUTO_TPU if _PALLAS_HW_OK else 0
 
 
-def fmult2x2_tree(p, *, normalize: bool = True):
+def fmult2x2_tree(p, *, normalize: bool = True, want=None):
     """Multiply a stack of 2x2 polynomial matrices via a log-depth FFT tree.
 
     Args:
       p: ``[..., n, 2, 2, deg+1]`` ascending coefficients, natural time order.
       normalize: per-product power-of-two rescaling (returns exponent ``w``).
+      want: optional tuple of (row, col) entries of the final matrix the
+        caller will read; the remaining entries of the result are zero.
+        Saves final-size inverse transforms on the value-space path.
 
     Returns:
       (result, w): ``result[..., 2, 2, n*deg+1]`` and int32 ``w`` with
@@ -212,12 +332,33 @@ def fmult2x2_tree(p, *, normalize: bool = True):
     else:
         w = jnp.zeros(p.shape[:-4] + (n_pad,), dtype=jnp.int32) \
             if normalize else None
-    for lv in range(levels):
+
+    def _do_norm(lv):
         # rescale every other level (and always the last): two levels of
         # near-unitary products cannot overflow, and each skipped rescale
         # saves two full passes over the coefficient array
-        do_norm = normalize and (lv % 2 == 1 or lv == levels - 1)
-        p, w = _tree_level_2x2(p, w, do_norm)
+        return normalize and (lv % 2 == 1 or lv == levels - 1)
+
+    lv = 0
+    # tiny degrees: direct convolution beats any FFT
+    while lv < levels and p.shape[-1] <= _conv_cutoff():
+        p, w = _tree_level_2x2(p, w, _do_norm(lv))
+        lv += 1
+    if _value_tree_enabled() and levels - lv >= 2:
+        V, t = _value_enter(p)
+        while lv < levels:
+            V, t, w = _value_level(V, t, w, _do_norm(lv))
+            lv += 1
+        p = _value_exit(V, t, want=want)
+    else:
+        while lv < levels:
+            p, w = _tree_level_2x2(p, w, _do_norm(lv))
+            lv += 1
+        if want is not None:
+            mask = np.zeros((2, 2, 1), dtype=bool)
+            for i, j in want:
+                mask[i, j, 0] = True
+            p = jnp.where(jnp.asarray(mask), p, 0.0)
     result = p[..., 0, :, :, :]
     # identity padding contributes degree 0; true degree is n*deg_in
     result = result[..., : n * deg_in + 1]
