@@ -4,7 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from fnft_tpu.ops.poly import chirpz, fmult, fmult2x2, poly_eval, poly_evalderiv
+from fnft_tpu.ops.poly import (chirpz, fmult, fmult2x2, fmult2x2_tree,
+                               poly_eval, poly_evalderiv, set_value_tree)
 
 
 def _np_polymul_mat(a, b):
@@ -57,6 +58,101 @@ def test_fmult_scalar():
     got, w = fmult(jnp.asarray(p), normalize=True)
     np.testing.assert_allclose(np.asarray(got) * 2.0 ** int(w), expected,
                                rtol=1e-12, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Value-space tree unit tier.  The small-n cases above never outgrow the
+# direct-convolution cutoff, so these cases use n = 64 where the tree spends
+# its last levels in value representation (ops/poly._value_level); deg = 1
+# exercises exact power-of-two grids (the drivers' case), deg = 3 the
+# 3*2^a grids.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("deg", [1, 3])
+@pytest.mark.parametrize("normalize", [True, False])
+def test_value_tree_matches_classic_and_brute_force(deg, normalize):
+    n = 64
+    rng = np.random.default_rng(100 + deg)
+    p = rng.normal(size=(n, 2, 2, deg + 1)) \
+        + 1j * rng.normal(size=(n, 2, 2, deg + 1))
+    expected = _brute_force_product(list(p))
+    scale = np.max(np.abs(expected))
+    try:
+        set_value_tree(True)
+        got_v, w_v = fmult2x2_tree(jnp.asarray(p), normalize=normalize)
+        set_value_tree(False)
+        got_c, w_c = fmult2x2_tree(jnp.asarray(p), normalize=normalize)
+    finally:
+        set_value_tree(None)
+    val = np.asarray(got_v) * 2.0 ** int(w_v)
+    cla = np.asarray(got_c) * 2.0 ** int(w_c)
+    assert np.max(np.abs(val - expected)) / scale < 1e-11
+    assert np.max(np.abs(cla - expected)) / scale < 1e-11
+    if normalize:
+        # normalized coefficients stay O(1) (the 2^w side channel carries
+        # the magnitude; the value tree rescales off value magnitudes)
+        assert np.max(np.abs(np.asarray(got_v))) <= 4.0
+    else:
+        assert int(w_v) == 0 and int(w_c) == 0
+
+
+def test_value_tree_top_coefficient_exact():
+    """The z^N side channel must survive the aliasing correction exactly:
+    the product's leading coefficient is the product of the factors'
+    leading 2x2 blocks, computed without any FFT roundoff amplification."""
+    n, deg = 64, 1
+    rng = np.random.default_rng(9)
+    p = rng.normal(size=(n, 2, 2, deg + 1)) \
+        + 1j * rng.normal(size=(n, 2, 2, deg + 1))
+    expected = _brute_force_product(list(p))
+    got, w = fmult2x2_tree(jnp.asarray(p))
+    top = np.asarray(got)[..., -1] * 2.0 ** int(w)
+    np.testing.assert_allclose(top, expected[..., -1], rtol=1e-12)
+
+
+@pytest.mark.parametrize("want", [((0, 0),), ((0, 0), (1, 0)),
+                                  ((0, 1), (1, 1))])
+def test_value_tree_want_entry_selection(want):
+    n, deg = 64, 2
+    rng = np.random.default_rng(17)
+    p = rng.normal(size=(n, 2, 2, deg + 1)) \
+        + 1j * rng.normal(size=(n, 2, 2, deg + 1))
+    full, w_full = fmult2x2_tree(jnp.asarray(p))
+    sel, w_sel = fmult2x2_tree(jnp.asarray(p), want=want)
+    full = np.asarray(full) * 2.0 ** int(w_full)
+    sel = np.asarray(sel) * 2.0 ** int(w_sel)
+    scale = np.max(np.abs(full))
+    for i in range(2):
+        for j in range(2):
+            if (i, j) in want:
+                assert np.max(np.abs(sel[i, j] - full[i, j])) / scale < 1e-12
+            else:
+                assert np.all(sel[i, j] == 0.0)
+
+
+def test_value_tree_nonpow2_n_identity_padding():
+    n, deg = 48, 2   # pads to 64 with identity matrices
+    rng = np.random.default_rng(23)
+    p = rng.normal(size=(n, 2, 2, deg + 1)) \
+        + 1j * rng.normal(size=(n, 2, 2, deg + 1))
+    expected = _brute_force_product(list(p))
+    got, w = fmult2x2_tree(jnp.asarray(p))
+    val = np.asarray(got) * 2.0 ** int(w)
+    assert val.shape[-1] == n * deg + 1
+    assert np.max(np.abs(val - expected)) / np.max(np.abs(expected)) < 1e-11
+
+
+def test_value_tree_batched_rows_match_single():
+    n, deg = 64, 1
+    rng = np.random.default_rng(31)
+    p = rng.normal(size=(3, n, 2, 2, deg + 1)) \
+        + 1j * rng.normal(size=(3, n, 2, 2, deg + 1))
+    got_b, w_b = fmult2x2_tree(jnp.asarray(p))
+    for k in range(3):
+        got_1, w_1 = fmult2x2_tree(jnp.asarray(p[k]))
+        a = np.asarray(got_b[k]) * 2.0 ** int(np.asarray(w_b)[k])
+        b = np.asarray(got_1) * 2.0 ** int(w_1)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12 * np.max(np.abs(b)))
 
 
 @pytest.mark.parametrize("m", [5, 16, 33])
