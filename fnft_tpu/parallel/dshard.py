@@ -24,8 +24,9 @@ Per-device FLOPs therefore scale ~1/S for the tree and stay O((D/S + M)
 log) for the evaluation; communication is log2(S) exchanges of [M, 2, 2]
 values — pure ICI, no host round-trips.
 
-Restrictions: fast schemes with upsampling factor 1 (the 2SPLITxy family,
-including the default 2SPLIT4B), D and M divisible by S.
+Restrictions: fast (polynomial) schemes, D and M divisible by S. The
+upsampled 4SPLIT4A/B schemes are supported via one all_gather of q before
+the (replicated) CF-stage resample; everything downstream stays sharded.
 """
 
 from __future__ import annotations
@@ -103,10 +104,9 @@ def make_dshard_contspec(d: int, t_span, m: int, xi_span, mesh: Mesh, *,
     ``(batch_axis?, seq_axis)`` and its outputs over the same axes (each
     device holds an M/S block of the spectrum).
     """
-    if not is_fast(disc) or upsampling_factor(disc) != 1:
-        raise ValueError(
-            "dshard supports fast schemes with upsampling factor 1 "
-            f"(2SPLITxy family); got {disc}")
+    if not is_fast(disc):
+        raise ValueError(f"dshard supports fast (polynomial) schemes; got {disc}")
+    ups = upsampling_factor(disc)
     from fnft_tpu.parallel.sharding import as_auto_mesh
     mesh = as_auto_mesh(mesh)
     s = mesh.shape[seq_axis]
@@ -124,8 +124,23 @@ def make_dshard_contspec(d: int, t_span, m: int, xi_span, mesh: Mesh, *,
     m_loc = m // s
 
     def body(q_loc):
-        r_loc = -kappa * jnp.conj(q_loc)
-        p = transfer_matrix_coeffs(q_loc, r_loc, eps_t, disc)
+        if ups == 1:
+            q_eff = q_loc
+            r_eff = -kappa * jnp.conj(q_loc)
+        else:
+            # 4SPLIT4A/B (CF4_2 stages): the stage construction needs a
+            # full-length FFT resample (nse.preprocess_signal), a global op.
+            # Gather q once (D values over ICI — tiny next to the local
+            # O((D/S) log^2) tree), build the stages replicated, and keep
+            # this device's contiguous ups*(D/S) stage samples (stages are
+            # interleaved per original sample, so chunk boundaries align).
+            q_full = jax.lax.all_gather(q_loc, seq_axis, axis=-1, tiled=True)
+            qe, re, _, _ = nse.preprocess_signal(q_full, eps_t, kappa, disc)
+            loc = ups * (d // s)
+            start = jax.lax.axis_index(seq_axis) * loc
+            q_eff = jax.lax.dynamic_slice_in_dim(qe, start, loc, -1)
+            r_eff = jax.lax.dynamic_slice_in_dim(re, start, loc, -1)
+        p = transfer_matrix_coeffs(q_eff, r_eff, eps_t, disc)
         tm, w = fmult2x2_tree(p, normalize=True)          # [..., 2, 2, c]
         c = tm.shape[-1]
         flat = tm.reshape(tm.shape[:-3] + (4, c))
@@ -177,8 +192,11 @@ def dshard_contspec_reference(q, d: int, t_span, m: int, xi_span, *,
     w_pt = complex(np.exp(2j * eps_xi * eps_t / deg1))
 
     q = jnp.asarray(q)
-    qs = q.reshape(q.shape[:-1] + (s, q.shape[-1] // s))  # [..., S, D/S]
-    r = -kappa * jnp.conj(qs)
+    q_eff, r_eff, _, _ = nse.preprocess_signal(q, eps_t, kappa, disc)
+    # [..., S, ups*D/S]: stage samples are interleaved per original sample,
+    # so contiguous chunks align with the sharded fold's time chunks
+    qs = q_eff.reshape(q_eff.shape[:-1] + (s, q_eff.shape[-1] // s))
+    r = r_eff.reshape(qs.shape)
     p = transfer_matrix_coeffs(qs, r, eps_t, disc)
     tm, w = fmult2x2_tree(p, normalize=True)              # [..., S, 2, 2, c]
     c = tm.shape[-1]

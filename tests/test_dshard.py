@@ -75,6 +75,23 @@ def test_dshard_ab_normalization(seq_mesh):
     np.testing.assert_allclose(mod, 1.0, atol=1e-6)
 
 
+@pytest.mark.parametrize("disc", [Discretization.SPLIT4A4,
+                                  Discretization.SPLIT4B4])
+def test_dshard_upsampled_schemes(seq_mesh, disc):
+    """4SPLIT4A/B (upsampling factor 2, CF4_2 stages): the sharded path
+    gathers q once for the stage resample, then stays sharded."""
+    q = _sech(D)
+    fn = make_dshard_contspec(D, T_SPAN, M, XI_SPAN, seq_mesh, disc=disc)
+    rho_sharded = np.asarray(fn(q)["rho"])
+    rho_ref = np.asarray(batched_nsev_contspec(q[None], T_SPAN, M, XI_SPAN,
+                                               disc=disc))[0]
+    assert rho_sharded.shape == (M,)
+    np.testing.assert_allclose(rho_sharded, rho_ref, rtol=0, atol=1e-11)
+    rho_replica = np.asarray(dshard_contspec_reference(
+        q, D, T_SPAN, M, XI_SPAN, s=8, disc=disc)["rho"])
+    np.testing.assert_allclose(rho_sharded, rho_replica, rtol=0, atol=1e-13)
+
+
 def test_dshard_batched(seq_mesh):
     """(data, seq) mesh: batch and time sharded simultaneously."""
     mesh = make_mesh(axis_names=("data", "seq"))
