@@ -202,8 +202,14 @@ def main() -> int:
 
         _poly.set_fused_early_levels(args.fused_levels)
 
+    import os
+
     import jax
 
+    if not args.cpu and os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the environment already pins CPU: measure it as a CPU run rather
+        # than letting the TPU probe fail and mislabel the record
+        args.cpu = True
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     last_err = None
@@ -236,6 +242,9 @@ def main() -> int:
             cmd.append("--no-df64")
         if args.no_harness:
             cmd.append("--no-harness")
+        if args.fused_levels:
+            # keep the fallback measurement configuration-comparable
+            cmd += ["--fused-levels", str(args.fused_levels)]
         proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
         for line in proc.stdout.splitlines():
             try:

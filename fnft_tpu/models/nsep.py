@@ -156,16 +156,19 @@ def _eval_b(q_eff, r_eff, lam, eps_t, base_disc):
     return t[:, 0, 1], td[:, 0, 1]
 
 
-@partial(jax.jit, static_argnames=("eps_t", "iters", "base_disc"))
-def _refine_mainspec_loop(q_eff, r_eff, lam0, rhs, tol, eps_t, iters,
-                          base_disc):
-    """The whole mainspec Newton sweep as one XLA program (one dispatch
-    instead of ``iters`` host round-trips)."""
+def _mainspec_newton_sweep(floquet, lam0, rhs, tol, iters):
+    """The reference's higher-order-root Newton with m in {1,2} line
+    search (refine_mainspec, :707-793) as one ``fori_loop``.
+
+    Parameterized over the ``(f, f') = floquet(lam)`` evaluator so the
+    single-device path (full scatter_matrix) and the D-sharded path
+    (chunk products + all_gather, parallel/dshard_nsep.py) share one
+    Newton body."""
     k = lam0.shape[0]
     # match the pipeline dtype: a float64 rhs would promote the c64 carry
     rhs = jnp.asarray(rhs).astype(jnp.real(lam0).dtype)
     rhs2 = jnp.concatenate([rhs, rhs]) if rhs.ndim == 1 else rhs
-    f, fp = _eval_floquet(q_eff, r_eff, lam0, eps_t, base_disc)
+    f, fp = floquet(lam0)
     f = f + rhs
 
     def body(_, carry):
@@ -173,7 +176,7 @@ def _refine_mainspec_loop(q_eff, r_eff, lam0, rhs, tol, eps_t, iters,
         fp_safe = jnp.where(fp == 0, 1.0, fp)
         incr = f / fp_safe
         cand = jnp.concatenate([lam - incr, lam - 2 * incr])
-        fc, fpc = _eval_floquet(q_eff, r_eff, cand, eps_t, base_disc)
+        fc, fpc = floquet(cand)
         fc = fc + rhs2
         f1, f2 = fc[:k], fc[k:]
         pick2 = jnp.abs(f2) < jnp.abs(f1)
@@ -194,6 +197,32 @@ def _refine_mainspec_loop(q_eff, r_eff, lam0, rhs, tol, eps_t, iters,
     return lam
 
 
+def _auxspec_newton_sweep(evalb, lam0, tol, iters):
+    """Plain Newton on ``(f, f') = evalb(lam)`` with per-root freezing
+    (refine_auxspec, :796-835); shared with parallel/dshard_nsep.py."""
+    def body(_, carry):
+        lam, frozen = carry
+        f, fp = evalb(lam)
+        fp_safe = jnp.where(fp == 0, 1.0, fp)
+        lam_new = lam - f / fp_safe
+        lam = jnp.where(frozen | (fp == 0), lam, lam_new)
+        return lam, frozen | (jnp.abs(f) < tol) | (fp == 0)
+
+    lam, _ = jax.lax.fori_loop(
+        0, iters, body, (lam0, jnp.zeros(lam0.shape, dtype=bool)))
+    return lam
+
+
+@partial(jax.jit, static_argnames=("eps_t", "iters", "base_disc"))
+def _refine_mainspec_loop(q_eff, r_eff, lam0, rhs, tol, eps_t, iters,
+                          base_disc):
+    """The whole mainspec Newton sweep as one XLA program (one dispatch
+    instead of ``iters`` host round-trips)."""
+    return _mainspec_newton_sweep(
+        lambda lam: _eval_floquet(q_eff, r_eff, lam, eps_t, base_disc),
+        lam0, rhs, tol, iters)
+
+
 def _refine_mainspec(q_eff, r_eff, lam0, eps_t, rhs, tol, max_evals,
                      base_disc):
     """Vectorized higher-order-root Newton with m in {1,2} line search
@@ -210,17 +239,9 @@ def _refine_mainspec(q_eff, r_eff, lam0, eps_t, rhs, tol, max_evals,
 
 @partial(jax.jit, static_argnames=("eps_t", "iters", "base_disc"))
 def _refine_auxspec_loop(q_eff, r_eff, lam0, tol, eps_t, iters, base_disc):
-    def body(_, carry):
-        lam, frozen = carry
-        f, fp = _eval_b(q_eff, r_eff, lam, eps_t, base_disc)
-        fp_safe = jnp.where(fp == 0, 1.0, fp)
-        lam_new = lam - f / fp_safe
-        lam = jnp.where(frozen | (fp == 0), lam, lam_new)
-        return lam, frozen | (jnp.abs(f) < tol) | (fp == 0)
-
-    lam, _ = jax.lax.fori_loop(
-        0, iters, body, (lam0, jnp.zeros(lam0.shape, dtype=bool)))
-    return lam
+    return _auxspec_newton_sweep(
+        lambda lam: _eval_b(q_eff, r_eff, lam, eps_t, base_disc),
+        lam0, tol, iters)
 
 
 def _refine_auxspec(q_eff, r_eff, lam0, eps_t, tol, max_evals, base_disc):

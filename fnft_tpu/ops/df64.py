@@ -128,18 +128,24 @@ def df_rsqrt(x):
 # complex df64: ((re_hi, re_lo), (im_hi, im_lo))
 # ---------------------------------------------------------------------------
 
+def _split_host_complex(zn: np.ndarray):
+    """Error-free float32 hi/lo split of a host complex128 array.
+
+    Pure numpy float64 arithmetic, so the split is exact even when jax
+    x64 is off (the TPU production mode), where a device-side split would
+    first truncate to complex64 and zero out every lo plane."""
+    re, im = np.real(zn), np.imag(zn)
+    re_hi = re.astype(np.float32)
+    re_lo = (re - re_hi.astype(np.float64)).astype(np.float32)
+    im_hi = im.astype(np.float32)
+    im_lo = (im - im_hi.astype(np.float64)).astype(np.float32)
+    return ((jnp.asarray(re_hi), jnp.asarray(re_lo)),
+            (jnp.asarray(im_hi), jnp.asarray(im_lo)))
+
+
 def cdf_from_c128(z):
     if not isinstance(z, jax.Array):
-        # host split in numpy float64: correct even when jax x64 is off
-        # (the TPU production mode), where jnp.asarray would first truncate
-        # the complex128 input to complex64 and zero out every lo plane
-        zn = np.asarray(z, dtype=np.complex128)
-        re_hi = zn.real.astype(np.float32)
-        re_lo = (zn.real - re_hi.astype(np.float64)).astype(np.float32)
-        im_hi = zn.imag.astype(np.float32)
-        im_lo = (zn.imag - im_hi.astype(np.float64)).astype(np.float32)
-        return ((jnp.asarray(re_hi), jnp.asarray(re_lo)),
-                (jnp.asarray(im_hi), jnp.asarray(im_lo)))
+        return _split_host_complex(np.asarray(z, dtype=np.complex128))
     z = jnp.asarray(z)
     re = jnp.real(z)
     im = jnp.imag(z)
@@ -213,17 +219,9 @@ def _cdf_zeros_like(z, shape=None):
 
 def _twiddles(length: int, sign: int):
     """Host-precomputed df64 twiddle planes for each stage."""
-    out = []
     half = length // 2
     k = np.arange(half)
-    w = np.exp(sign * 2j * np.pi * k / length)
-    re, im = np.real(w), np.imag(w)
-    re_hi = re.astype(np.float32)
-    re_lo = (re - re_hi.astype(np.float64)).astype(np.float32)
-    im_hi = im.astype(np.float32)
-    im_lo = (im - im_hi.astype(np.float64)).astype(np.float32)
-    return ((jnp.asarray(re_hi), jnp.asarray(re_lo)),
-            (jnp.asarray(im_hi), jnp.asarray(im_lo)))
+    return _split_host_complex(np.exp(sign * 2j * np.pi * k / length))
 
 
 def _bit_reverse_indices(n: int) -> np.ndarray:
@@ -278,30 +276,15 @@ def _four_step_twiddle(n1: int, n2: int, sign: int):
     """df64 twiddle plane T[j2, k1] = w_n^{j2 k1}, host-precomputed."""
     j2 = np.arange(n2)[:, None]
     k1 = np.arange(n1)[None, :]
-    w = np.exp(sign * 2j * np.pi * (j2 * k1) / (n1 * n2))
-    re, im = np.real(w), np.imag(w)
-    re_hi = re.astype(np.float32)
-    re_lo = (re - re_hi.astype(np.float64)).astype(np.float32)
-    im_hi = im.astype(np.float32)
-    im_lo = (im - im_hi.astype(np.float64)).astype(np.float32)
-    return ((jnp.asarray(re_hi), jnp.asarray(re_lo)),
-            (jnp.asarray(im_hi), jnp.asarray(im_lo)))
+    return _split_host_complex(np.exp(sign * 2j * np.pi * (j2 * k1)
+                                      / (n1 * n2)))
 
 
 def _radix3_twiddles(n: int, sign: int):
     """Host df64 twiddle planes w^k and w^{2k}, k in [0, n)."""
     k = np.arange(n)
-    out = []
-    for mult in (1, 2):
-        w = np.exp(sign * 2j * np.pi * (mult * k % n) / n)
-        re, im = np.real(w), np.imag(w)
-        re_hi = re.astype(np.float32)
-        re_lo = (re - re_hi.astype(np.float64)).astype(np.float32)
-        im_hi = im.astype(np.float32)
-        im_lo = (im - im_hi.astype(np.float64)).astype(np.float32)
-        out.append(((jnp.asarray(re_hi), jnp.asarray(re_lo)),
-                    (jnp.asarray(im_hi), jnp.asarray(im_lo))))
-    return out
+    return [_split_host_complex(np.exp(sign * 2j * np.pi * (mult * k % n) / n))
+            for mult in (1, 2)]
 
 
 def _fft_radix3_split(x, n: int, sign: int):

@@ -298,10 +298,9 @@ def _tree_df64(p, n_true: int, deg_in: int, want=None):
         return _cdf_index(p, (Ellipsis, 0, slice(None), slice(None),
                               slice(None))), w[..., 0]
     if want is not None:
-        mask = np.zeros((2, 2, 1), dtype=bool)
-        for i, j in want:
-            mask[i, j, 0] = True
-        mask = jnp.asarray(mask)
+        from fnft_tpu.ops.poly import _want_mask
+
+        mask = jnp.asarray(_want_mask(want))
         p = jax.tree.map(lambda x: jnp.where(mask, x, 0.0), p)
     return _cdf_index(p, (Ellipsis, 0, slice(None), slice(None),
                           slice(None))), w[..., 0]

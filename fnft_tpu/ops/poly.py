@@ -224,6 +224,15 @@ def _value_exit(V, t, want=None):
     return jnp.concatenate([q, t[..., None]], axis=-1)
 
 
+def _want_mask(want) -> np.ndarray:
+    """Boolean [2, 2, 1] mask selecting the ``want`` matrix entries
+    (shared with the df64 tree, ops/df64_pipeline.py)."""
+    mask = np.zeros((2, 2, 1), dtype=bool)
+    for i, j in want:
+        mask[i, j, 0] = True
+    return mask
+
+
 def _pad_to_power_of_2_2x2(p):
     """Pad a matrix stack with identity (constant-1 polynomial) matrices."""
     n = p.shape[-4]
@@ -262,9 +271,15 @@ def _pallas_hw_validated() -> bool:
     interpret-tested, so auto-enable stays off (it can still be forced
     via set_fused_early_levels for measurement runs)."""
     import json
+    import os
     import pathlib
 
-    path = pathlib.Path(__file__).resolve().parents[2] / "TPU_MEASUREMENTS.jsonl"
+    # FNFT_TPU_MEASUREMENTS overrides the default source-checkout location
+    # (parents[2] is only the repo root when running from a checkout; an
+    # installed wheel must point the env var at its measurement log).
+    override = os.environ.get("FNFT_TPU_MEASUREMENTS")
+    path = (pathlib.Path(override) if override else
+            pathlib.Path(__file__).resolve().parents[2] / "TPU_MEASUREMENTS.jsonl")
     try:
         for ln in path.read_text().splitlines():
             try:
@@ -355,10 +370,7 @@ def fmult2x2_tree(p, *, normalize: bool = True, want=None):
             p, w = _tree_level_2x2(p, w, _do_norm(lv))
             lv += 1
         if want is not None:
-            mask = np.zeros((2, 2, 1), dtype=bool)
-            for i, j in want:
-                mask[i, j, 0] = True
-            p = jnp.where(jnp.asarray(mask), p, 0.0)
+            p = jnp.where(jnp.asarray(_want_mask(want)), p, 0.0)
     result = p[..., 0, :, :, :]
     # identity padding contributes degree 0; true degree is n*deg_in
     result = result[..., : n * deg_in + 1]

@@ -487,7 +487,9 @@ def aberth_roots_deflated(coeffs, z0, num_iters: int = 80, block: int = 3,
     if not converged and not frozen_np.all():
         idx_np = np.nonzero(~frozen_np)[0]
         kick = 1.0 + 64.0 * tol * np.cos(idx_np * 2.399963229728653)
-        z = z.at[idx_np].multiply(kick.astype(np.asarray(z0).real.dtype))
+        # post-promotion dtype (z0 may be c64 while z was promoted to c128;
+        # in f32 the ~1e-12 kick would round to exactly 1.0 — a no-op)
+        z = z.at[idx_np].multiply(kick.astype(jnp.real(z).dtype))
         z, frozen_np, it = _polish_until(z, frozen_np, num_iters // 2, it)
     if return_iters:
         return z, it
@@ -549,7 +551,10 @@ def root_residuals(coeffs, z):
     p_rev, a_rev = eval_abs_pair(coeffs[::-1], u, au)
     pv = jnp.where(inside, jnp.abs(p_in), jnp.abs(p_rev))
     av = jnp.where(inside, a_in, a_rev)
-    return (pv / jnp.maximum(av, jnp.asarray(np.finfo(np.float64).tiny,
+    # tiny of the *working* real dtype: float64's tiny underflows to 0 in
+    # float32, which would turn the guard into 0/0 = NaN at exact roots of
+    # polynomials with zero constant coefficient
+    return (pv / jnp.maximum(av, jnp.asarray(np.finfo(np.dtype(rdt)).tiny,
                                              rdt))).astype(rdt)
 
 

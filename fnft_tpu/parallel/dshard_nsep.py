@@ -86,61 +86,26 @@ def make_dshard_nsep_refine(d: int, mesh: Mesh, *, eps_t: float,
         raise ValueError(
             f"D_eff={d_eff} must split into {s} whole-sample chunks")
 
-    def main_body(q_loc, r_loc, lam0, rhs, tol):
-        k = lam0.shape[0]
-        # match the pipeline dtype: float64 rhs would promote a c64 carry
-        rhs = jnp.asarray(rhs).astype(jnp.real(lam0).dtype)
-        rhs2 = jnp.concatenate([rhs, rhs])
+    # the Newton bodies (m in {1,2} line search, per-root freezing) are
+    # shared with the single-device driver; only the monodromy evaluator
+    # differs (chunk products + all_gather instead of full scatter_matrix)
+    from fnft_tpu.models.nsep import _auxspec_newton_sweep, _mainspec_newton_sweep
 
+    def main_body(q_loc, r_loc, lam0, rhs, tol):
         def floquet(lam):
             t, td = _total_monodromy(q_loc, r_loc, lam, eps_t, base_disc,
                                      seq_axis)
             return (t[:, 0, 0] + t[:, 1, 1]), (td[:, 0, 0] + td[:, 1, 1])
 
-        f, fp = floquet(lam0)
-        f = f + rhs
-
-        def body(_, carry):
-            lam, f, fp, frozen = carry
-            fp_safe = jnp.where(fp == 0, 1.0, fp)
-            incr = f / fp_safe
-            cand = jnp.concatenate([lam - incr, lam - 2 * incr])
-            fc, fpc = floquet(cand)
-            fc = fc + rhs2
-            f1, f2 = fc[:k], fc[k:]
-            pick2 = jnp.abs(f2) < jnp.abs(f1)
-            lam_new = jnp.where(pick2, lam - 2 * incr, lam - incr)
-            f_new = jnp.where(pick2, f2, f1)
-            fp_new = jnp.where(pick2, fpc[k:], fpc[:k])
-            conv = jnp.abs(f_new) < tol
-            fp_new_safe = jnp.where(fp_new == 0, 1.0, fp_new)
-            lam_final = jnp.where(conv, lam_new - f_new / fp_new_safe,
-                                  lam_new)
-            lam = jnp.where(frozen, lam, lam_final)
-            f = jnp.where(frozen, f, f_new)
-            fp = jnp.where(frozen, fp, fp_new)
-            return lam, f, fp, frozen | conv | (fp_new == 0)
-
-        lam, _, _, _ = jax.lax.fori_loop(
-            0, iters_main, body,
-            (lam0, f, fp, jnp.zeros(k, dtype=bool)))
-        return lam
+        return _mainspec_newton_sweep(floquet, lam0, rhs, tol, iters_main)
 
     def aux_body(q_loc, r_loc, lam0, tol):
-        def body(_, carry):
-            lam, frozen = carry
+        def evalb(lam):
             t, td = _total_monodromy(q_loc, r_loc, lam, eps_t, base_disc,
                                      seq_axis)
-            f, fp = t[:, 0, 1], td[:, 0, 1]
-            fp_safe = jnp.where(fp == 0, 1.0, fp)
-            lam_new = lam - f / fp_safe
-            lam = jnp.where(frozen | (fp == 0), lam, lam_new)
-            return lam, frozen | (jnp.abs(f) < tol) | (fp == 0)
+            return t[:, 0, 1], td[:, 0, 1]
 
-        lam, _ = jax.lax.fori_loop(
-            0, iters_aux, body,
-            (lam0, jnp.zeros(lam0.shape, dtype=bool)))
-        return lam
+        return _auxspec_newton_sweep(evalb, lam0, tol, iters_aux)
 
     spec_seq = P(seq_axis)
     rep = P()
@@ -217,22 +182,28 @@ def dshard_nsep_reference(q, t_span, mesh, *, kappa: int = +1,
     post_filter = ctx["post_filter"]
     base = ctx["base"]
     refine_tol = ctx["refine_tol"]
+    # max_evals == 0 disables refinement entirely, matching the
+    # single-device contract (models.nsep._refine_mainspec/_refine_auxspec)
+    refine = opts.max_evals > 0
     iters = max(1, (opts.max_evals - 1) // 2)
 
-    refine_main, refine_aux = make_dshard_nsep_refine(
+    refine_main, refine_aux = (make_dshard_nsep_refine(
         d, mesh, eps_t=eps_t, base_disc=base,
         iters_main=iters, iters_aux=opts.max_evals, seq_axis=seq_axis)
+        if refine else (None, None))
 
     main = aux = None
     if lam_cat is not None:
-        if lam_cat.size:
+        if lam_cat.size and refine:
             lam_ref = refine_main(q_eff, r_eff, jnp.asarray(lam_cat),
                                   jnp.asarray(rhs_cat), refine_tol)
             main = post_filter(np.asarray(lam_ref))
+        elif lam_cat.size:
+            main = post_filter(np.asarray(lam_cat))
         else:
             main = lam_cat
     if aux_lam is not None:
-        if aux_lam.size:
+        if aux_lam.size and refine:
             aux_lam = np.asarray(refine_aux(q_eff, r_eff,
                                             jnp.asarray(aux_lam),
                                             refine_tol))

@@ -134,6 +134,29 @@ def test_dshard_nsep_driver_equivalence():
     assert err < 5e-2, err
 
 
+def test_dshard_nsep_max_evals_zero_matches_driver():
+    """max_evals == 0 disables refinement on both paths identically
+    (models.nsep._refine_mainspec/_refine_auxspec contract)."""
+    d = 1 << 9
+    disc = ft.Discretization.SPLIT2A
+    q, t_span, *_ = _setup(d, disc)
+    opts = ft.NsepOpts(localization=ft.Localization.SUBSAMPLE_AND_REFINE,
+                       filtering=ft.PointFilter.MANUAL, bounding_box=BOX,
+                       discretization=disc, max_evals=0)
+    ref = ft.nsep(jnp.asarray(q), t_span, kappa=+1, opts=opts)
+    mesh = make_mesh(axis_names=("seq",))
+    main, aux = dshard_nsep_reference(jnp.asarray(q), t_span, mesh,
+                                      kappa=+1, opts=opts)
+    # localization is shared (replicated) and refinement is off on both
+    # paths, so the unrefined candidate sets must agree exactly
+    np.testing.assert_allclose(
+        np.sort_complex(main),
+        np.sort_complex(np.asarray(ref.main_spectrum)), rtol=0, atol=1e-13)
+    np.testing.assert_allclose(
+        np.sort_complex(aux),
+        np.sort_complex(np.asarray(ref.aux_spectrum)), rtol=0, atol=1e-13)
+
+
 @pytest.mark.skipif(os.environ.get("FNFT_SLOW_TESTS") != "1",
                     reason="D=2^16 sharded nsep: minutes")
 def test_dshard_nsep_at_scale():

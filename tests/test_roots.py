@@ -69,3 +69,16 @@ def test_aberth_known_roots():
     c = np.poly(roots)[::-1] * (2.0 - 1.5j)
     got = np.sort_complex(np.asarray(poly_roots(jnp.asarray(c))))
     np.testing.assert_allclose(got, np.sort_complex(roots), atol=1e-9)
+
+
+def test_root_residuals_finite_in_complex64():
+    """The underflow guard must use the working dtype's tiny: float64's
+    tiny underflows to 0 in float32, which turned the residual at an
+    exact root z=0 of a zero-constant-coefficient polynomial into 0/0."""
+    from fnft_tpu.ops.roots import root_residuals
+
+    # p(z) = z (z - 1) (z - 2): ascending coefficients, c0 == 0
+    coeffs = jnp.asarray([0.0, 2.0, -3.0, 1.0], dtype=jnp.complex64)
+    eta = np.asarray(root_residuals(coeffs, jnp.asarray([0j], jnp.complex64)))
+    assert np.isfinite(eta).all(), eta
+    assert eta[0] < 1e-6, eta
