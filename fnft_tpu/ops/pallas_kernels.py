@@ -27,6 +27,11 @@ import numpy as np
 
 LANES = 128
 
+# Aberth repulsion kernel tile sizes: each program handles REP_IBLK active
+# roots against the full root vector in j-chunks of REP_JCHUNK.
+REP_IBLK = 128
+REP_JCHUNK = 512
+
 
 def _fused_levels_kernel(ar_ref, ai_ref, or_ref, oi_ref, oe_ref, *,
                          levels: int, c_in: int, normalize: bool):
@@ -165,3 +170,141 @@ def fused_tree_levels(p, levels: int, *, normalize: bool = False,
     out = out.reshape(tuple(lead) + (blocks_per * LANES, 2, 2, c_out))
     w = oe_[:, 0, :].reshape(tuple(lead) + (blocks_per * LANES,))
     return out, w
+
+
+def _repulsion_kernel(zr_ref, zi_ref, tr_ref, ti_ref, idx_ref,
+                      or_ref, oi_ref, *, deg: int, nch: int):
+    """Aberth repulsion for one block of REP_IBLK active roots.
+
+    s_i = sum_{j != idx_i, j < deg} 1 / (t_i - z_j), accumulated over the
+    whole root vector (held VMEM-resident as [nch, REP_JCHUNK] planes) with
+    a fori_loop over j-chunks; every arithmetic op is a full [IBLK, JCHUNK]
+    vector op. Replaces the XLA path's per-chunk HBM round-trips
+    (ops/roots._repulsion_chunked) with a single pass.
+    """
+    tr = tr_ref[...]          # [IBLK, 1]
+    ti = ti_ref[...]
+    idx = idx_ref[...]        # [IBLK, 1] int32
+    jof = jax.lax.broadcasted_iota(jnp.int32, (REP_IBLK, REP_JCHUNK), 1)
+
+    def body(c, acc):
+        acc_re, acc_im = acc
+        zr = zr_ref[pl.ds(c, 1), :]      # [1, JCHUNK]
+        zi = zi_ref[pl.ds(c, 1), :]
+        jglob = jof + c * REP_JCHUNK
+        bad = (idx == jglob) | (jglob >= deg)
+        dr = tr - zr                     # [IBLK, JCHUNK]
+        di = ti - zi
+        den = dr * dr + di * di
+        den = jnp.where(bad, 1.0, den)
+        den = jnp.where(den == 0.0, 1.0, den)  # guard: padded t rows only
+        good = jnp.where(bad, 0.0, 1.0 / den)
+        return acc_re + dr * good, acc_im - di * good
+
+    zero = jnp.zeros((REP_IBLK, REP_JCHUNK), tr.dtype)
+    acc_re, acc_im = jax.lax.fori_loop(0, nch, body, (zero, zero))
+    or_ref[...] = jnp.sum(acc_re, axis=1, keepdims=True)
+    oi_ref[...] = jnp.sum(acc_im, axis=1, keepdims=True)
+
+
+# imported lazily in fused_tree_levels; the repulsion path needs it at
+# module scope for the kernel body above
+try:  # pragma: no cover - import guard for environments without pallas
+    from jax.experimental import pallas as pl
+except ImportError:  # pragma: no cover
+    pl = None
+
+
+def pallas_hw_validated(record_name: str) -> bool:
+    """Has kernel ``record_name`` been validated on real TPU hardware?
+
+    The watcher (tools/tpu_watch.py) records kernel-vs-XLA agreement
+    checks to TPU_MEASUREMENTS.jsonl in its first healthy window; until
+    such a record exists a Mosaic-lowered kernel has only been
+    interpret-tested, so auto-enables stay off (kernels can still be
+    forced via their setters for measurement runs).
+
+    FNFT_TPU_MEASUREMENTS overrides the default source-checkout location
+    (an installed wheel must point the env var at its measurement log).
+    """
+    import json
+    import os
+    import pathlib
+
+    override = os.environ.get("FNFT_TPU_MEASUREMENTS")
+    path = (pathlib.Path(override) if override else
+            pathlib.Path(__file__).resolve().parents[2]
+            / "TPU_MEASUREMENTS.jsonl")
+    try:
+        for ln in path.read_text().splitlines():
+            try:
+                rec = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if (rec.get("name") == record_name and rec.get("agree")
+                    and rec.get("platform") == "tpu"):
+                # platform check matters: a degraded tunnel can silently
+                # fall back to CPU, where agreement is trivially true
+                return True
+    except OSError:
+        pass
+    return False
+
+
+def repulsion_sum(z_all, z_t, t_idx, *, interpret: bool = False):
+    """Pallas Aberth repulsion ``s_i = sum_{j != t_idx_i} 1/(z_t_i - z_all_j)``.
+
+    Drop-in for the low-precision path of ``ops.roots._repulsion_chunked``:
+    computes in the native real dtype of ``z_t`` (float32 planes on TPU —
+    the repulsion term only steers the iteration path, see the XLA
+    implementation's docstring) and returns complex of ``z_t.dtype``.
+
+    Args:
+      z_all: full root vector ``[deg]`` (complex).
+      z_t: active roots ``[m]`` (complex).
+      t_idx: global index of each active root in ``z_all`` (int32 ``[m]``),
+        excluded from its own sum. Out-of-range indices mark padding rows.
+
+    The full root vector stays VMEM-resident per program (float planes,
+    ~0.9 MB at the eiscor-ceiling deg ~1e5), so each sweep is one HBM read
+    of z_all per i-block instead of one per (i-block, j-chunk) pair.
+    """
+    deg = z_all.shape[0]
+    m = z_t.shape[0]
+    cdt = z_t.dtype
+    rdt = jnp.float64 if (cdt == jnp.complex128 and interpret) else jnp.float32
+
+    nch = max(1, -(-deg // REP_JCHUNK))
+    deg_pad = nch * REP_JCHUNK
+    mblk = max(1, -(-m // REP_IBLK))
+    m_pad = mblk * REP_IBLK
+
+    zp = jnp.pad(z_all, (0, deg_pad - deg))
+    zr = jnp.real(zp).astype(rdt).reshape(nch, REP_JCHUNK)
+    zi = jnp.imag(zp).astype(rdt).reshape(nch, REP_JCHUNK)
+    tp = jnp.pad(z_t, (0, m_pad - m))
+    tr = jnp.real(tp).astype(rdt).reshape(mblk * REP_IBLK, 1)
+    ti = jnp.imag(tp).astype(rdt).reshape(mblk * REP_IBLK, 1)
+    # padding rows point at j = deg (masked); their sums are discarded
+    ip = jnp.pad(t_idx.astype(jnp.int32), (0, m_pad - m),
+                 constant_values=deg)
+    ip = ip.reshape(mblk * REP_IBLK, 1)
+
+    kern = partial(_repulsion_kernel, deg=deg, nch=nch)
+    out_shape = [jax.ShapeDtypeStruct((mblk * REP_IBLK, 1), rdt),
+                 jax.ShapeDtypeStruct((mblk * REP_IBLK, 1), rdt)]
+    or_, oi_ = pl.pallas_call(
+        kern,
+        grid=(mblk,),
+        in_specs=[pl.BlockSpec((nch, REP_JCHUNK), lambda b: (0, 0)),
+                  pl.BlockSpec((nch, REP_JCHUNK), lambda b: (0, 0)),
+                  pl.BlockSpec((REP_IBLK, 1), lambda b: (b, 0)),
+                  pl.BlockSpec((REP_IBLK, 1), lambda b: (b, 0)),
+                  pl.BlockSpec((REP_IBLK, 1), lambda b: (b, 0))],
+        out_specs=[pl.BlockSpec((REP_IBLK, 1), lambda b: (b, 0)),
+                   pl.BlockSpec((REP_IBLK, 1), lambda b: (b, 0))],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(zr, zi, tr, ti, ip)
+    s = (or_[:, 0] + 1j * oi_[:, 0])[:m]
+    return s.astype(cdt)

@@ -265,35 +265,10 @@ def set_fused_early_levels(levels: int | None) -> None:
 def _pallas_hw_validated() -> bool:
     """Has the Pallas fused tree ever been validated on real TPU hardware?
 
-    The watcher (tools/tpu_watch.py) records a kernel-vs-XLA agreement
-    check to TPU_MEASUREMENTS.jsonl in its first healthy window; until
-    such a record exists the Mosaic-lowered kernel has only been
-    interpret-tested, so auto-enable stays off (it can still be forced
-    via set_fused_early_levels for measurement runs)."""
-    import json
-    import os
-    import pathlib
+    See :func:`fnft_tpu.ops.pallas_kernels.pallas_hw_validated`."""
+    from fnft_tpu.ops.pallas_kernels import pallas_hw_validated
 
-    # FNFT_TPU_MEASUREMENTS overrides the default source-checkout location
-    # (parents[2] is only the repo root when running from a checkout; an
-    # installed wheel must point the env var at its measurement log).
-    override = os.environ.get("FNFT_TPU_MEASUREMENTS")
-    path = (pathlib.Path(override) if override else
-            pathlib.Path(__file__).resolve().parents[2] / "TPU_MEASUREMENTS.jsonl")
-    try:
-        for ln in path.read_text().splitlines():
-            try:
-                rec = json.loads(ln)
-            except json.JSONDecodeError:
-                continue
-            if (rec.get("name") == "pallas_hw_validation" and rec.get("agree")
-                    and rec.get("platform") == "tpu"):
-                # platform check matters: a degraded tunnel can silently
-                # fall back to CPU, where agreement is trivially true
-                return True
-    except OSError:
-        pass
-    return False
+    return pallas_hw_validated("pallas_hw_validation")
 
 
 _PALLAS_HW_OK: bool | None = None  # cached _pallas_hw_validated() result

@@ -33,6 +33,37 @@ from fnft_tpu.config import complex_dtype_of, eps_of
 
 _CHUNK = 64
 
+_PALLAS_REPULSION: bool | None = None  # None = auto; set via setter below
+_REPULSION_HW_OK: bool | None = None   # cached pallas_hw_validated() result
+
+
+def set_pallas_repulsion(on: bool | None) -> None:
+    """Force the Pallas repulsion kernel on/off (``None`` restores auto).
+
+    Auto enables the kernel on the TPU backend once the watcher has
+    recorded a ``pallas_repulsion_hw_validation`` agreement to
+    TPU_MEASUREMENTS.jsonl (same containment as the fused tree levels,
+    ops/poly.set_fused_early_levels)."""
+    global _PALLAS_REPULSION
+    if on is not _PALLAS_REPULSION:
+        _PALLAS_REPULSION = on
+        # read at trace time: drop stale compiled programs
+        jax.clear_caches()
+
+
+def _pallas_repulsion_active() -> bool:
+    global _REPULSION_HW_OK
+    if _PALLAS_REPULSION is not None:
+        return _PALLAS_REPULSION
+    if jax.default_backend() != "tpu":
+        return False
+    if _REPULSION_HW_OK is None:
+        from fnft_tpu.ops.pallas_kernels import pallas_hw_validated
+
+        _REPULSION_HW_OK = pallas_hw_validated(
+            "pallas_repulsion_hw_validation")
+    return _REPULSION_HW_OK
+
 
 def _repulsion_chunked(z_all, z_t, t_idx, lowprec: bool = True):
     """Aberth repulsion ``s_i = sum_{j != t_idx_i} 1/(z_t_i - z_all_j)``.
@@ -49,6 +80,15 @@ def _repulsion_chunked(z_all, z_t, t_idx, lowprec: bool = True):
     """
     deg = z_all.shape[0]
     m = z_t.shape[0]
+    if lowprec and _pallas_repulsion_active():
+        # one VMEM-resident pass instead of per-chunk HBM round-trips;
+        # inputs are complex64 on TPU so forming differences in f32 planes
+        # matches the XLA path's precision exactly
+        from fnft_tpu.ops.pallas_kernels import repulsion_sum
+
+        s = repulsion_sum(z_all, z_t, t_idx.astype(jnp.int32),
+                          interpret=jax.default_backend() == "cpu")
+        return s.astype(z_all.dtype)
     chunk = max(512, min(1 << 16, (1 << 26) // max(m, 1)))
     nch = -(-deg // chunk)
     zp = jnp.pad(z_all, (0, nch * chunk - deg))

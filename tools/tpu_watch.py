@@ -135,12 +135,49 @@ rec.update(name='pallas_hw_validation', agree=agree, max_abs_diff=diff,
 print('STAGE_JSON ' + json.dumps(rec))
 """
 
+REPULSION_VALIDATE_STAGE = """
+import json, time
+import jax, jax.numpy as jnp, numpy as np
+from fnft_tpu.ops.pallas_kernels import repulsion_sum
+from fnft_tpu.ops.roots import _repulsion_chunked
+
+cfg = json.loads('''{cfg}''')
+deg = cfg['d']
+rng = np.random.default_rng(0)
+z = (rng.normal(size=deg) + 1j * rng.normal(size=deg)).astype(np.complex64)
+idx = jnp.arange(deg, dtype=jnp.int32)
+zd = jax.device_put(jnp.asarray(z))
+interp = jax.default_backend() != 'tpu'  # degraded-tunnel CPU fallback
+t0 = time.perf_counter()
+got = np.asarray(jax.block_until_ready(
+    repulsion_sum(zd, zd, idx, interpret=interp)))
+kern_s = time.perf_counter() - t0
+t0 = time.perf_counter()
+ref = np.asarray(jax.block_until_ready(_repulsion_chunked(zd, zd, idx)))
+xla_s = time.perf_counter() - t0
+scale = float(np.max(np.abs(ref)) + 1e-30)
+diff = float(np.max(np.abs(got - ref)))
+# f32 accumulation-order noise only: both paths are f32 on TPU
+agree = bool(diff <= 1e-4 * scale) and bool(np.all(np.isfinite(got)))
+rec = dict(cfg)
+rec.update(name='pallas_repulsion_hw_validation', agree=agree,
+           max_rel_diff=diff / scale, kernel_seconds=kern_s,
+           xla_seconds=xla_s, platform=jax.devices()[0].platform,
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
 # expect_rho0: |rho(0)| of the Satsuma-Yajima A=3.2 sech
 STAGES = [
     # first: cheap hardware validation of the Pallas fused tree — its
     # recorded `agree` flag is what ops/poly.py gates the auto-enable on
     dict(name="pallas_hw_validation", d=1 << 12, levels=2, reps=1,
          pallas_validate=True),
+    # Aberth repulsion kernel vs the XLA chunked path (gates
+    # ops/roots.set_pallas_repulsion auto-enable); also records the
+    # kernel-vs-XLA timing ratio at a representative degree
+    dict(name="pallas_repulsion_hw_validation", d=20480,
+         repulsion_validate=True),
     dict(name="single_D4096", d=1 << 12, m=1 << 12, batch=1, reps=5,
          expect_rho0=0.7265425),
     dict(name="single_D65536", d=1 << 16, m=1 << 16, batch=1, reps=5,
@@ -221,6 +258,8 @@ def main() -> int:
                 tmo = 360 if st["d"] < (1 << 18) else 900
                 if st.get("pallas_validate"):
                     template = PALLAS_VALIDATE_STAGE
+                elif st.get("repulsion_validate"):
+                    template = REPULSION_VALIDATE_STAGE
                 elif st.get("df64"):
                     template = DF64_STAGE
                 else:
