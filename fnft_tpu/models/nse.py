@@ -156,7 +156,7 @@ def fscatter(q, eps_t: float, kappa: int, disc: Discretization,
 
     q = jnp.asarray(q)
     return akns_fscatter(q, -kappa * jnp.conj(q), eps_t, disc,
-                         normalize=normalize, want=want)
+                         normalize=normalize, want=want, jsym=kappa)
 
 
 def scatter_matrix(q, lam, eps_t: float, kappa: int, disc: Discretization,

@@ -111,7 +111,7 @@ def _gridsearch(q_pre, eps_t, kappa, box, opts, want_main, want_aux):
     q_eff, r_eff, _, _ = nse.preprocess_signal(q_pre, eps_t, kappa, disc)
     tm, w = fscatter(q_eff, r_eff, eps_t, disc,
                      normalize=getattr(opts, 'normalization_flag', True),
-                     want=((0, 0), (0, 1)))
+                     want=((0, 0), (0, 1)), jsym=kappa)
     deg = tm.shape[-1] - 1
     map_coeff = 2.0 / degree(disc)
     if opts.filtering is PointFilter.AUTO:
@@ -283,7 +283,7 @@ def _sr_localize(q_pre, eps_t, d, kappa, box, opts, want_main, want_aux,
 
     tm, w = fscatter(qs_eff, rs_eff, eps_t_sub, disc,
                      normalize=getattr(opts, 'normalization_flag', True),
-                     want=((0, 0), (0, 1)))
+                     want=((0, 0), (0, 1)), jsym=kappa)
     deg = tm.shape[-1] - 1
     map_coeff = 2.0 / degree(disc)
     if opts.filtering is PointFilter.AUTO:

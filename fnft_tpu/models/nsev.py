@@ -244,7 +244,7 @@ def _nsev_base(q_eff, r_eff, q_orig, t0, t1, m, xi0, xi1, kappa, opts,
     if is_fast(disc):
         tm, w = fscatter(q_eff, r_eff, eps_t, disc,
                          normalize=opts.normalization_flag,
-                         want=((0, 0), (1, 0)))
+                         want=((0, 0), (1, 0)), jsym=kappa)
 
     result = NsevResult()
     if want_contspec and m > 0:

@@ -565,6 +565,133 @@ def value_grid_supported_df64(n: int) -> bool:
     return n >= 16 and next_fft_length_df64(n) == n
 
 
+# ---------------------------------------------------------------------------
+# J-symmetric df64 value levels (see ops/poly.py's _value_level_sym): for
+# AKNS nodes with r = -kappa conj(q) only the first matrix column is
+# carried; the grid size equals the nominal degree, so the missing column
+# is +conj (even bins) / -conj (odd bins) of the carried one, and the
+# scalar side channels (top/zeroth coefficients) close under the product.
+# Halves the df64 FFT work of the dominant tree stage.
+# ---------------------------------------------------------------------------
+
+def _cdf_conj(z):
+    re, im = z
+    return (re, (-im[0], -im[1]))
+
+
+def _cdf_neg(z):
+    re, im = z
+    return ((-re[0], -re[1]), (-im[0], -im[1]))
+
+
+def _kscale(z, s: int):
+    """z * s for s in {+1, -1} (static)."""
+    return z if s == 1 else _cdf_neg(z)
+
+
+def _value_enter_sym_df64(p, n: int):
+    """cdf coeffs [..., n_mat, 2, 2, n+1] -> column state (Vc, tc, cc)."""
+    col = _cdf_index(p, (Ellipsis, slice(None), 0, slice(None)))
+    tc = _cdf_index(col, (Ellipsis, n))
+    cc = _cdf_index(col, (Ellipsis, 0))
+    Vc = fft_df64(_cdf_index(col, (Ellipsis, slice(0, n))), n)
+    Vc = cdf_add(Vc, jax.tree.map(lambda x: x[..., None], tc))
+    return Vc, tc, cc
+
+
+def _value_level_sym_df64(Vc, tc, cc, kappa: int, n: int):
+    """One J-symmetric df64 tree level: n-grid column pairs -> 2n grid.
+
+    Vc: [..., pairs, 2, n] cdf; tc/cc: [..., pairs, 2] cdf. Returns the
+    un-rescaled products; the caller owns the 2^w bookkeeping."""
+    sl_a = (Ellipsis, slice(0, None, 2), slice(None), slice(None))
+    sl_b = (Ellipsis, slice(1, None, 2), slice(None), slice(None))
+    Va, Vb = _cdf_index(Vc, sl_a), _cdf_index(Vc, sl_b)
+    ta = _cdf_index(tc, (Ellipsis, slice(0, None, 2), slice(None)))
+    tb = _cdf_index(tc, (Ellipsis, slice(1, None, 2), slice(None)))
+    ca = _cdf_index(cc, (Ellipsis, slice(0, None, 2), slice(None)))
+    cb = _cdf_index(cc, (Ellipsis, slice(1, None, 2), slice(None)))
+
+    def ent(z, k):
+        return _cdf_index(z, (Ellipsis, k, slice(None)))
+
+    a11, a21 = ent(Va, 0), ent(Va, 1)
+    b11, b21 = ent(Vb, 0), ent(Vb, 1)
+    # even bins (z^n == 1): B12 = -kappa conj(B21), B22 = conj(B11)
+    even11 = cdf_add(cdf_mul(b11, a11),
+                     _kscale(cdf_mul(_cdf_conj(b21), a21), -kappa))
+    even21 = cdf_add(cdf_mul(b21, a11), cdf_mul(_cdf_conj(b11), a21))
+    # odd bins (z^n == -1): B12 = +kappa conj(B21), B22 = -conj(B11)
+    j = np.arange(n)
+    tw = _cdf_table(np.exp(-1j * np.pi * j / n))
+    Bo = _value_odd_df64(Vb, tb, tw, n)
+    Ao = _value_odd_df64(Va, ta, tw, n)
+    a11o, a21o = ent(Ao, 0), ent(Ao, 1)
+    b11o, b21o = ent(Bo, 0), ent(Bo, 1)
+    odd11 = cdf_add(cdf_mul(b11o, a11o),
+                    _kscale(cdf_mul(_cdf_conj(b21o), a21o), kappa))
+    odd21 = cdf_sub(cdf_mul(b21o, a11o), cdf_mul(_cdf_conj(b11o), a21o))
+
+    def ilv(ev, od):
+        return jax.tree.map(
+            lambda e, o: jnp.stack([e, o], axis=-1).reshape(
+                e.shape[:-1] + (2 * n,)), ev, od)
+
+    V_out = _cdf_stack([ilv(even11, odd11), ilv(even21, odd21)], axis=-2)
+
+    def sc(z, k):
+        return _cdf_index(z, (Ellipsis, k))
+
+    # top(B12) = -kappa conj(c_B21); top(B22) = conj(c_B11);
+    # zeroth(B12) = -kappa conj(t_B21); zeroth(B22) = conj(t_B11)
+    t11 = cdf_add(cdf_mul(sc(tb, 0), sc(ta, 0)),
+                  _kscale(cdf_mul(_cdf_conj(sc(cb, 1)), sc(ta, 1)), -kappa))
+    t21 = cdf_add(cdf_mul(sc(tb, 1), sc(ta, 0)),
+                  cdf_mul(_cdf_conj(sc(cb, 0)), sc(ta, 1)))
+    c11 = cdf_add(cdf_mul(sc(cb, 0), sc(ca, 0)),
+                  _kscale(cdf_mul(_cdf_conj(sc(tb, 1)), sc(ca, 1)), -kappa))
+    c21 = cdf_add(cdf_mul(sc(cb, 1), sc(ca, 0)),
+                  cdf_mul(_cdf_conj(sc(tb, 0)), sc(ca, 1)))
+    t_out = _cdf_stack([t11, t21], axis=-1)
+    c_out = _cdf_stack([c11, c21], axis=-1)
+    return V_out, t_out, c_out
+
+
+def _value_exit_sym_df64(Vc, tc, cc, kappa: int, n: int, want=None):
+    """Column state on the n grid -> cdf coefficients [..., 2, 2, n+1]."""
+    if want is None:
+        want = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+    def col(z, k):
+        return _cdf_index(z, (Ellipsis, k, slice(None)))
+
+    def sc(z, k):
+        return _cdf_index(z, (Ellipsis, k))
+
+    entry = {
+        (0, 0): (col(Vc, 0), sc(tc, 0)),
+        (1, 0): (col(Vc, 1), sc(tc, 1)),
+        (1, 1): (_cdf_conj(col(Vc, 0)), _cdf_conj(sc(cc, 0))),
+        (0, 1): (_kscale(_cdf_conj(col(Vc, 1)), -kappa),
+                 _kscale(_cdf_conj(sc(cc, 1)), -kappa)),
+    }
+    Vs = _cdf_stack([entry[ij][0] for ij in want], axis=-2)
+    ts = _cdf_stack([entry[ij][1] for ij in want], axis=-1)
+    qs = fft_df64(Vs, n, inverse=True)
+    q0 = cdf_sub(_cdf_index(qs, (Ellipsis, 0)), ts)
+    qs = jax.tree.map(lambda qp, cp: qp.at[..., 0].set(cp), qs, q0)
+    qs = jax.tree.map(lambda qp, tp: jnp.concatenate(
+        [qp, tp[..., None]], axis=-1), qs, ts)
+    lead = Vc[0][0].shape[:-2]
+    out = _cdf_zeros_like(Vc, shape=lead + (2, 2, n + 1))
+    for k, (i, j) in enumerate(want):
+        sel = _cdf_index(qs, (Ellipsis, k, slice(None)))
+        out = jax.tree.map(
+            lambda op, sp, i=i, j=j: op.at[..., i, j, :].set(sp),
+            out, sel)
+    return out
+
+
 def _matpoly_product_df64(b, a, length: int):
     """(b @ a)(z) on df64 coefficient arrays [..., 2, 2, c]."""
     fa = fft_df64(_pad_last(a, length), length)

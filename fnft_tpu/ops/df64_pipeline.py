@@ -248,17 +248,47 @@ def _tree_rescale_df64(p, w, extra_hi=None, tdims=0):
     return p, w, scale
 
 
-def _tree_df64(p, n_true: int, deg_in: int, want=None):
+def _tree_rescale_sym_df64(V, t, c, w):
+    """Per-node power-of-two rescale for the J-symmetric column state.
+
+    The carried column's magnitudes cover the full matrix (|col2| == |col1|
+    pointwise, |t12|,|t22| == |c21|,|c11|), so the max over (V, t, c) is
+    the same quantity :func:`_tree_rescale_df64` computes on full nodes."""
+    max_abs = jnp.max(jnp.maximum(jnp.abs(V[0][0]), jnp.abs(V[1][0])),
+                      axis=(-2, -1))
+    for s in (t, c):
+        hi = jnp.maximum(jnp.abs(s[0][0]), jnp.abs(s[1][0]))
+        max_abs = jnp.maximum(max_abs, jnp.max(hi, axis=-1))
+    safe = jnp.where(max_abs > 0, max_abs, 1.0)
+    a_exp = jnp.where(max_abs > 0, jnp.floor(jnp.log2(safe)), 0.0)
+    scale = jnp.ldexp(jnp.float32(1.0), -a_exp.astype(jnp.int32))
+    scale_v = scale[(Ellipsis,) + (None,) * 2]
+    scale_s = scale[..., None]
+    V = jax.tree.map(lambda x: x * scale_v, V)
+    t = jax.tree.map(lambda x: x * scale_s, t)
+    c = jax.tree.map(lambda x: x * scale_s, c)
+    w = w[..., 0::2] + w[..., 1::2] + a_exp.astype(jnp.int32)
+    return V, t, c, w
+
+
+def _tree_df64(p, n_true: int, deg_in: int, want=None,
+               jsym: int | None = None):
     """df64 fmult tree on cdf [..., n, 2, 2, c]; returns (cdf [...,2,2,out], w).
 
     Small-degree levels run the padded coefficient product; once the node
     grid N = c-1 is an exact df64 FFT length and >= 3 levels remain, the
     tree switches to value space (ops/df64._value_level_df64): ~35% less
     FFT work at the FFT-friendliest lengths.  ``want`` selects the final
-    transfer-matrix entries to materialize (others return zero).
+    transfer-matrix entries to materialize (others return zero).  ``jsym``
+    (+1/-1) asserts the J-involution symmetry of the inputs (AKNS with
+    r = -jsym*conj(q)); the value levels then carry only the first matrix
+    column — half the df64 FFT work (ops/df64._value_level_sym_df64).
+    Requires n to be a power of two (identity padding breaks the
+    symmetry); ignored otherwise.
     """
     from fnft_tpu.ops.df64 import (
-        _value_enter_df64, _value_exit_df64, _value_level_df64,
+        _value_enter_df64, _value_enter_sym_df64, _value_exit_df64,
+        _value_exit_sym_df64, _value_level_df64, _value_level_sym_df64,
         value_grid_supported_df64)
 
     n = p[0][0].shape[-4]
@@ -267,6 +297,7 @@ def _tree_df64(p, n_true: int, deg_in: int, want=None):
     levels = int(math.log2(n)) if n > 1 else 0
     c = p[0][0].shape[-1]
     lv = 0
+    use_sym = jsym in (1, -1) and n & (n - 1) == 0
     while lv < levels:
         if (_VALUE_TREE_DF64 and levels - lv >= 3
                 and value_grid_supported_df64(c - 1)):
@@ -282,6 +313,17 @@ def _tree_df64(p, n_true: int, deg_in: int, want=None):
         p, w, _ = _tree_rescale_df64(prod, w)
         c = 2 * c - 1
         lv += 1
+    if lv < levels and use_sym:
+        grid = c - 1
+        Vc, tc, cc = _value_enter_sym_df64(p, grid)
+        while lv < levels:
+            Vc, tc, cc = _value_level_sym_df64(Vc, tc, cc, jsym, grid)
+            grid *= 2
+            Vc, tc, cc, w = _tree_rescale_sym_df64(Vc, tc, cc, w)
+            lv += 1
+        p = _value_exit_sym_df64(Vc, tc, cc, jsym, grid, want=want)
+        return _cdf_index(p, (Ellipsis, 0, slice(None), slice(None),
+                              slice(None))), w[..., 0]
     if lv < levels:
         grid = c - 1
         V, t = _value_enter_df64(p, grid)
@@ -346,9 +388,10 @@ def _tm_stage_df64(q_cdf, *, eps_t: float, kappa: int, disc: Discretization):
     return transfer_matrix_coeffs_df64(q, r, eps_t, disc)
 
 
-@partial(jax.jit, static_argnames=("n_true", "deg_in", "want"))
-def _tree_stage_df64(p, *, n_true: int, deg_in: int, want=None):
-    return _tree_df64(p, n_true, deg_in, want=want)
+@partial(jax.jit, static_argnames=("n_true", "deg_in", "want", "jsym"))
+def _tree_stage_df64(p, *, n_true: int, deg_in: int, want=None,
+                     jsym: int | None = None):
+    return _tree_df64(p, n_true, deg_in, want=want, jsym=jsym)
 
 
 @partial(jax.jit, static_argnames=("a_pt", "w_pt", "m", "pf", "xi_span"))
@@ -397,7 +440,7 @@ def _contspec_df64_core(q_cdf, *, d: int, m: int, t_span, xi_span,
         jit_tm = jax.jit(tm_call)
         p = jax.vmap(jit_tm)(q_cdf) if batched else jit_tm(q_cdf)
     tm, _ = staged(_tree_stage_df64, p, n_true=d, deg_in=degree(disc),
-                   want=((0, 0), (1, 0)))
+                   want=((0, 0), (1, 0)), jsym=kappa)
     # rho is a ratio: the 2^w scale cancels
 
     eps_xi = (xi1 - xi0) / (m - 1)
@@ -533,7 +576,7 @@ def nsev_boundstates_df64(q128, *, d: int, t_span, kappa: int = +1,
     q_cdf = cdf_from_c128(q128)
     p = _tm_stage_df64(q_cdf, eps_t=eps_t, kappa=kappa, disc=disc)
     tm, _ = _tree_stage_df64(p, n_true=d, deg_in=degree(disc),
-                             want=((0, 0),))
+                             want=((0, 0),), jsym=kappa)
     tm00 = _cdf_index(tm, (0, 0, slice(None)))
 
     from fnft_tpu.models.discretization import degree1step_total
@@ -646,7 +689,7 @@ def nsev_boundstates_df64_batched(q128_batch, *, d: int, t_span,
     def one(q_cdf, z0_cdf):
         p = _tm_stage_df64(q_cdf, eps_t=eps_t, kappa=kappa, disc=disc)
         tm, _ = _tree_stage_df64(p, n_true=d, deg_in=degree(disc),
-                                 want=((0, 0),))
+                                 want=((0, 0),), jsym=kappa)
         tm00 = _cdf_index(tm, (0, 0, slice(None)))
         return _polish_stage_df64(tm00, z0_cdf, iters=iters)
 

@@ -162,16 +162,19 @@ def transfer_matrix_coeffs(q, r, eps_t: float, disc: Discretization):
     return total
 
 
-@partial(jax.jit, static_argnames=("eps_t", "disc", "normalize", "want"))
+@partial(jax.jit,
+         static_argnames=("eps_t", "disc", "normalize", "want", "jsym"))
 def fscatter(q, r, eps_t: float, disc: Discretization, *, normalize: bool = True,
-             want=None):
+             want=None, jsym: int | None = None):
     """Combined polynomial scattering matrix of D samples.
 
     Returns (transfer_matrix ``[..., 2, 2, D*deg+1]``, w) with
     ``true = stored * 2**w``. Equivalent to fnft__akns_fscatter.c:64-925
     followed by poly_fmult2x2.  ``want`` optionally names the (row, col)
     entries the caller reads; the rest come back zero (saves final-size
-    inverse FFTs in the tree).
+    inverse FFTs in the tree).  ``jsym``: see
+    :func:`fnft_tpu.ops.poly.fmult2x2_tree` — pass the kappa sign when
+    ``r == -kappa * conj(q)`` to halve the tree's FFT work.
     """
     p = transfer_matrix_coeffs(q, r, eps_t, disc)
-    return fmult2x2_tree(p, normalize=normalize, want=want)
+    return fmult2x2_tree(p, normalize=normalize, want=want, jsym=jsym)

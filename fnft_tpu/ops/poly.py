@@ -224,6 +224,115 @@ def _value_exit(V, t, want=None):
     return jnp.concatenate([q, t[..., None]], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# J-symmetric value-space levels (NSE/AKNS with r = -kappa conj(q))
+#
+# Such transfer matrices satisfy the involution P = sigma(P) with
+# sigma(P)(z) = z^deg * J conj(P(1/conj(z))) J^{-1}, i.e. in coefficients
+#   P22 = rev(conj(P11)),   P12 = -kappa * rev(conj(P21)),
+# and the property is closed under products (verified per scheme in
+# tests/test_poly_sym.py).  The tree therefore only needs to carry the
+# FIRST COLUMN of each node.  In value space the reconstruction is free:
+# the grid size always equals the nominal degree N, so at the even grid
+# points z^N == 1 (rev(conj(X)) -> conj(X)) and at the odd points of the
+# doubled grid z^N == -1 (rev(conj(X)) -> -conj(X)).  Each level costs 8
+# size-N transforms per pair instead of 16 and half the pointwise work.
+# The scalar side channels are the top (z^N) and zeroth coefficients of
+# the carried column: the missing column's top/zeroth coefficients are
+# conj of the carried zeroth/top ones.
+# ---------------------------------------------------------------------------
+
+
+def _value_enter_sym(p):
+    """Coefficients ``[..., n, 2, 2, N+1]`` -> column state (Vc, tc, cc).
+
+    Vc[..., n, 2, N] holds values of (P11, P21) on the N-grid; tc/cc are
+    their z^N / z^0 coefficients."""
+    n_coef = p.shape[-1]
+    col = p[..., :, 0, :]                      # [..., n, 2(row), N+1]
+    tc = col[..., n_coef - 1]
+    cc = col[..., 0]
+    Vc = jnp.fft.fft(col[..., : n_coef - 1], axis=-1) + tc[..., None]
+    return Vc, tc, cc
+
+
+def _value_level_sym(Vc, tc, cc, w, kappa: int, do_norm: bool):
+    """One J-symmetric tree level: N-grid column pairs -> 2N-grid products."""
+    Va, Vb = Vc[..., 0::2, :, :], Vc[..., 1::2, :, :]
+    ta, tb = tc[..., 0::2, :], tc[..., 1::2, :]
+    ca, cb = cc[..., 0::2, :], cc[..., 1::2, :]
+    n = Vc.shape[-1]
+    tw = _half_twiddle(n, Vc.dtype)
+    a11, a21 = Va[..., 0, :], Va[..., 1, :]
+    b11, b21 = Vb[..., 0, :], Vb[..., 1, :]
+    # even bins (z^N == 1): B12 = -kappa conj(B21), B22 = conj(B11)
+    even11 = b11 * a11 - kappa * (jnp.conj(b21) * a21)
+    even21 = b21 * a11 + jnp.conj(b11) * a21
+    # odd bins (z^N == -1): B12 = +kappa conj(B21), B22 = -conj(B11)
+    Bo = _value_odd_bins(Vb, tb, tw)
+    Ao = _value_odd_bins(Va, ta, tw)
+    a11o, a21o = Ao[..., 0, :], Ao[..., 1, :]
+    b11o, b21o = Bo[..., 0, :], Bo[..., 1, :]
+    odd11 = b11o * a11o + kappa * (jnp.conj(b21o) * a21o)
+    odd21 = b21o * a11o - jnp.conj(b11o) * a21o
+    V11 = jnp.stack([even11, odd11], axis=-1).reshape(
+        even11.shape[:-1] + (2 * n,))
+    V21 = jnp.stack([even21, odd21], axis=-1).reshape(
+        even21.shape[:-1] + (2 * n,))
+    V_out = jnp.stack([V11, V21], axis=-2)
+    # scalar side channels: top(B12) = -kappa conj(c_B21), top(B22) =
+    # conj(c_B11); zeroth(B12) = -kappa conj(t_B21), zeroth(B22) = conj(t_B11)
+    t11 = tb[..., 0] * ta[..., 0] - kappa * (jnp.conj(cb[..., 1]) * ta[..., 1])
+    t21 = tb[..., 1] * ta[..., 0] + jnp.conj(cb[..., 0]) * ta[..., 1]
+    c11 = cb[..., 0] * ca[..., 0] - kappa * (jnp.conj(tb[..., 1]) * ca[..., 1])
+    c21 = cb[..., 1] * ca[..., 0] + jnp.conj(tb[..., 0]) * ca[..., 1]
+    t_out = jnp.stack([t11, t21], axis=-1)
+    c_out = jnp.stack([c11, c21], axis=-1)
+    if w is not None:
+        w = w[..., 0::2] + w[..., 1::2]
+    if do_norm:
+        # |column 2| == |column 1| pointwise and |t12|,|t22| == |c21|,|c11|,
+        # so the carried state covers the full matrix's magnitude
+        max_abs = jnp.maximum(
+            jnp.max(jnp.abs(V_out), axis=(-2, -1)),
+            jnp.maximum(jnp.max(jnp.abs(t_out), axis=-1),
+                        jnp.max(jnp.abs(c_out), axis=-1)))
+        a_exp = _exp_from_max(max_abs)
+        scale = jnp.ldexp(jnp.asarray(1.0, jnp.real(V_out).dtype), -a_exp)
+        V_out = V_out * scale[..., None, None]
+        t_out = t_out * scale[..., None]
+        c_out = c_out * scale[..., None]
+        w = w + a_exp if w is not None else a_exp
+    return V_out, t_out, c_out, w
+
+
+def _value_exit_sym(Vc, tc, cc, kappa: int, want=None):
+    """Column state on the N grid -> coefficients ``[..., n, 2, 2, N+1]``.
+
+    Entries outside ``want`` are zero.  Reconstruction uses the even-grid
+    identities (z^N == 1): V22 = conj(V11), V12 = -kappa conj(V21), with
+    top coefficients conj(c11) / -kappa conj(c21)."""
+    if want is None:
+        want = ((0, 0), (0, 1), (1, 0), (1, 1))
+    entry = {
+        (0, 0): (Vc[..., 0, :], tc[..., 0]),
+        (1, 0): (Vc[..., 1, :], tc[..., 1]),
+        (1, 1): (jnp.conj(Vc[..., 0, :]), jnp.conj(cc[..., 0])),
+        (0, 1): (-kappa * jnp.conj(Vc[..., 1, :]),
+                 -kappa * jnp.conj(cc[..., 1])),
+    }
+    Vs = jnp.stack([entry[ij][0] for ij in want], axis=-2)
+    ts = jnp.stack([entry[ij][1] for ij in want], axis=-1)
+    qs = jnp.fft.ifft(Vs, axis=-1)
+    qs = qs.at[..., 0].add(-ts)
+    qs = jnp.concatenate([qs, ts[..., None]], axis=-1)
+    n_grid = Vc.shape[-1]
+    out = jnp.zeros(Vc.shape[:-2] + (2, 2, n_grid + 1), dtype=Vc.dtype)
+    for k, (i, j) in enumerate(want):
+        out = out.at[..., i, j, :].set(qs[..., k, :])
+    return out
+
+
 def _want_mask(want) -> np.ndarray:
     """Boolean [2, 2, 1] mask selecting the ``want`` matrix entries
     (shared with the df64 tree, ops/df64_pipeline.py)."""
@@ -285,7 +394,8 @@ def _fused_levels_active() -> int:
     return _FUSED_AUTO_TPU if _PALLAS_HW_OK else 0
 
 
-def fmult2x2_tree(p, *, normalize: bool = True, want=None):
+def fmult2x2_tree(p, *, normalize: bool = True, want=None,
+                  jsym: int | None = None):
     """Multiply a stack of 2x2 polynomial matrices via a log-depth FFT tree.
 
     Args:
@@ -294,6 +404,13 @@ def fmult2x2_tree(p, *, normalize: bool = True, want=None):
       want: optional tuple of (row, col) entries of the final matrix the
         caller will read; the remaining entries of the result are zero.
         Saves final-size inverse transforms on the value-space path.
+      jsym: +1/-1 asserts the J-involution symmetry P22 = rev(conj(P11)),
+        P12 = -jsym*rev(conj(P21)) of every input matrix (AKNS with
+        r = -jsym*conj(q); holds for all NSE fast schemes).  The
+        value-space levels then carry only the first matrix column —
+        half the FFT work and memory.  Requires n to be a power of two
+        (identity padding breaks the symmetry); silently falls back to
+        the generic path otherwise.
 
     Returns:
       (result, w): ``result[..., 2, 2, n*deg+1]`` and int32 ``w`` with
@@ -335,11 +452,19 @@ def fmult2x2_tree(p, *, normalize: bool = True, want=None):
         p, w = _tree_level_2x2(p, w, _do_norm(lv))
         lv += 1
     if _value_tree_enabled() and levels - lv >= 2:
-        V, t = _value_enter(p)
-        while lv < levels:
-            V, t, w = _value_level(V, t, w, _do_norm(lv))
-            lv += 1
-        p = _value_exit(V, t, want=want)
+        if jsym in (1, -1) and n == n_pad:
+            Vc, tc, cc = _value_enter_sym(p)
+            while lv < levels:
+                Vc, tc, cc, w = _value_level_sym(Vc, tc, cc, w, jsym,
+                                                 _do_norm(lv))
+                lv += 1
+            p = _value_exit_sym(Vc, tc, cc, jsym, want=want)
+        else:
+            V, t = _value_enter(p)
+            while lv < levels:
+                V, t, w = _value_level(V, t, w, _do_norm(lv))
+                lv += 1
+            p = _value_exit(V, t, want=want)
     else:
         while lv < levels:
             p, w = _tree_level_2x2(p, w, _do_norm(lv))

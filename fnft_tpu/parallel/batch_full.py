@@ -120,7 +120,7 @@ def make_batched_full_nsev(d: int, t_span, m: int, xi_span, *, k_max: int = 8,
             q, eps_t, +1, disc, dsub)
         ts0, ts1 = t0 + i0 * eps_t, t0 + i1 * eps_t
         eps_sub = (ts1 - ts0) / (dsub_act - 1)
-        tm, _ = fscatter(qs_eff, rs_eff, eps_sub, disc)
+        tm, _ = fscatter(qs_eff, rs_eff, eps_sub, disc, jsym=+1)
         coeffs = tm[0, 0]
         deg_sub = coeffs.shape[-1] - 1
 
@@ -164,7 +164,7 @@ def make_batched_full_nsev(d: int, t_span, m: int, xi_span, *, k_max: int = 8,
 
     def single(q):
         q_eff, r_eff, _, _ = nse.preprocess_signal(q, eps_t, +1, disc)
-        tm, w = fscatter(q_eff, r_eff, eps_t, disc)
+        tm, w = fscatter(q_eff, r_eff, eps_t, disc, jsym=+1)
         h11, h21, w_ = _contspec_eval(tm, w, q_eff, r_eff, eps_t, t0, t1,
                                       d, xi0, xi1, m, disc)
         cs = _apply_phase_factors(h11, h21, w_, eps_t, t0, t1, d, xi0, xi1,

@@ -85,7 +85,7 @@ def make_batched_nsep_fn(d: int, t_span, *, kappa: int = +1,
         nskip = d // dsub_act
         eps_sub = nskip * eps_t
 
-        tm, w = fscatter(qs_eff, rs_eff, eps_sub, disc)
+        tm, w = fscatter(qs_eff, rs_eff, eps_sub, disc, jsym=kappa)
         deg = tm.shape[-1] - 1
         map_coeff = 2.0 / degree(disc)
         box = _auto_box(eps_sub, map_coeff)

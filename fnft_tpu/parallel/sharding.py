@@ -93,7 +93,7 @@ def make_nsev_batch_fn(d: int, t_span, m: int, xi_span, *, kappa: int = +1,
 
     def single(q):
         q_eff, r_eff, _, _ = nse.preprocess_signal(q, eps_t, kappa, disc)
-        tm, w = fscatter(q_eff, r_eff, eps_t, disc)
+        tm, w = fscatter(q_eff, r_eff, eps_t, disc, jsym=kappa)
         h11, h21, w_ = _contspec_eval(tm, w, q_eff, r_eff, eps_t, t0, t1,
                                       d, xi0, xi1, m, disc)
         return _apply_phase_factors(h11, h21, w_, eps_t, t0, t1, d, xi0,
@@ -127,7 +127,7 @@ def batched_nsev_contspec(q_batch, t_span, m: int, xi_span, *, kappa: int = +1,
 
     def single(q):
         q_eff, r_eff, _, _ = nse.preprocess_signal(q, eps_t, kappa, disc)
-        tm, w = fscatter(q_eff, r_eff, eps_t, disc)
+        tm, w = fscatter(q_eff, r_eff, eps_t, disc, jsym=kappa)
         h11, h21, w_ = _contspec_eval(tm, w, q_eff, r_eff, eps_t, t0, t1,
                                       d, xi0, xi1, m, disc)
         cs = _apply_phase_factors(h11, h21, w_, eps_t, t0, t1, d, xi0, xi1,
