@@ -141,7 +141,8 @@ def make_dshard_contspec(d: int, t_span, m: int, xi_span, mesh: Mesh, *,
             q_eff = jax.lax.dynamic_slice_in_dim(qe, start, loc, -1)
             r_eff = jax.lax.dynamic_slice_in_dim(re, start, loc, -1)
         p = transfer_matrix_coeffs(q_eff, r_eff, eps_t, disc)
-        tm, w = fmult2x2_tree(p, normalize=True)          # [..., 2, 2, c]
+        tm, w = fmult2x2_tree(p, normalize=True,
+                              jsym=kappa)                 # [..., 2, 2, c]
         c = tm.shape[-1]
         flat = tm.reshape(tm.shape[:-3] + (4, c))
         vals = chirpz(flat, a_pt, w_pt, m)                # [..., 4, M]
@@ -198,7 +199,8 @@ def dshard_contspec_reference(q, d: int, t_span, m: int, xi_span, *,
     qs = q_eff.reshape(q_eff.shape[:-1] + (s, q_eff.shape[-1] // s))
     r = r_eff.reshape(qs.shape)
     p = transfer_matrix_coeffs(qs, r, eps_t, disc)
-    tm, w = fmult2x2_tree(p, normalize=True)              # [..., S, 2, 2, c]
+    tm, w = fmult2x2_tree(p, normalize=True,
+                          jsym=kappa)                     # [..., S, 2, 2, c]
     c = tm.shape[-1]
     vals = chirpz(tm.reshape(tm.shape[:-3] + (4, c)), a_pt, w_pt, m)
     v = jnp.moveaxis(vals, -2, -1).reshape(tm.shape[:-3] + (m, 2, 2))

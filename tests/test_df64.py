@@ -198,9 +198,19 @@ def test_df64_value_tree_matches_classic_and_brute_force():
 
 
 def test_df64_contspec_at_scale_d_2pow16():
-    """df64 contspec at D=2^16 with the full M=D grid stays at ~1e-12 of
-    the complex128 driver — the at-scale evidence for 'reference tolerance
-    on TPU' (gated: ~4 CPU-minutes; the roofline doc extrapolates 2^20)."""
+    """df64 contspec at D=2^16 with the full M=D grid vs the complex128
+    driver — the at-scale evidence for 'reference tolerance on TPU'
+    (gated: minutes on 1 CPU core; the roofline doc extrapolates 2^20).
+
+    Bound model: the dominant error is the per-sample accumulation of
+    df64's 48-bit roundoff through the D-deep matrix product, linear in
+    D; measured err ~ 0.23 * D * 2^-48 across D = 2^10..2^16 (the FFT
+    contribution is flat ~7e-15 at every size, ruled out separately).
+    The bound is 0.5 * D * 2^-48 — 2x the fitted constant — i.e. 1.2e-10
+    at D=2^16, still ~5e3x below the discretization error there.  (An
+    earlier fixed 1e-11 bound passed only while the df64 and c128 trees
+    were structurally identical and their roundings correlated; the
+    value-space tree decorrelated them.)"""
     import os
 
     import pytest
@@ -220,7 +230,7 @@ def test_df64_contspec_at_scale_d_2pow16():
                              xi_span=data.xi_span, kappa=+1,
                              want_bound_states=False).reflection_coefficient)
     err = np.sum(np.abs(rho - ref)) / np.sum(np.abs(ref))
-    assert err < 1e-11, err
+    assert err < 0.5 * d * 2.0 ** -48, err
 
 
 def test_df64_fft_large_n_x64_off_subprocess():
