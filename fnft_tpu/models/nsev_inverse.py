@@ -288,45 +288,63 @@ def _half_step_matrix(qn, l, h):
     return jnp.where(small[..., None, None], eye, m)
 
 
+def _m2x2(b, a):
+    """Explicit (b @ a) on [..., 2, 2] stacks (a 2-length contracting dim
+    in einsum/matmul defeats XLA:CPU fusion; cf. ops.poly._mat2x2_mul)."""
+    b00, b01 = b[..., 0, 0], b[..., 0, 1]
+    b10, b11 = b[..., 1, 0], b[..., 1, 1]
+    a00, a01 = a[..., 0, 0], a[..., 0, 1]
+    a10, a11 = a[..., 1, 0], a[..., 1, 1]
+    return jnp.stack([
+        jnp.stack([b00 * a00 + b01 * a10, b00 * a01 + b01 * a11], axis=-1),
+        jnp.stack([b10 * a00 + b11 * a10, b10 * a01 + b11 * a11], axis=-1),
+    ], axis=-2)
+
+
 def _compute_eigenfunctions(bound_states, q, t0, t1):
     """phi/psi trajectories at all samples (reference :908-1006).
 
+    The reference integrates sequentially over the time grid
+    (fnft__nsev_inverse.c CDT eigenfunction loops); here the per-step BO
+    matrices are built in one batched pass and the D-deep matrix
+    recurrence is a log-depth ``associative_scan`` of 2x2 products —
+    prefix products for phi, suffix products of the inverses for psi.
+
     Returns (phi, psi), each [D, K, 2].
     """
-    d = q.shape[-1]
     cdt = q.dtype
+    d = q.shape[-1]
     l = jnp.asarray(bound_states).astype(cdt)
     h = ((t1 - t0) / (d - 1)) / 2.0
 
+    # step matrices M[n] = U(q[n+1]) U(q[n]), n = 0..D-2: [D-1, K, 2, 2]
+    m = _m2x2(_half_step_matrix(q[1:, None], l, h),
+              _half_step_matrix(q[:-1, None], l, h))
+
     phi0 = jnp.stack([jnp.exp(-1j * l * t0), jnp.zeros_like(l)], axis=-1)
-
-    def fwd(carry, qpair):
-        qprev, qcur = qpair
-        m = _half_step_matrix(qcur[None], l, h) @ _half_step_matrix(qprev[None], l, h)
-        v = jnp.einsum("kij,kj->ki", m, carry)
-        return v, v
-
-    qpairs = (q[:-1], q[1:])
-    _, phi_traj = jax.lax.scan(fwd, phi0, qpairs)
+    # P[n] = M[n] @ ... @ M[0]; phi[n+1] = P[n] @ phi0
+    pref = jax.lax.associative_scan(lambda a, b: _m2x2(b, a), m, axis=0)
+    phi_traj = jnp.stack([
+        pref[..., 0, 0] * phi0[..., 0] + pref[..., 0, 1] * phi0[..., 1],
+        pref[..., 1, 0] * phi0[..., 0] + pref[..., 1, 1] * phi0[..., 1],
+    ], axis=-1)
     phi = jnp.concatenate([phi0[None], phi_traj], axis=0)
 
     psi_end = jnp.stack([jnp.zeros_like(l), jnp.exp(1j * l * t1)], axis=-1)
-
-    def bwd(carry, qpair):
-        qcur, qnext = qpair
-        # psi[n-1] = Minv(q[n-1]) Minv(q[n]) psi[n] = inv(U(q[n]) U(q[n-1]))
-        m = _half_step_matrix(qnext[None], l, h) @ _half_step_matrix(qcur[None], l, h)
-        det = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
-        minv = jnp.stack([
-            jnp.stack([m[..., 1, 1], -m[..., 0, 1]], axis=-1),
-            jnp.stack([-m[..., 1, 0], m[..., 0, 0]], axis=-1),
-        ], axis=-2) / det[..., None, None]
-        v = jnp.einsum("kij,kj->ki", minv, carry)
-        return v, v
-
-    qpairs_rev = (q[:-1][::-1], q[1:][::-1])
-    _, psi_traj = jax.lax.scan(bwd, psi_end, qpairs_rev)
-    psi = jnp.concatenate([psi_end[None], psi_traj], axis=0)[::-1]
+    # psi[n] = inv(M[n]) @ ... @ inv(M[D-2]) @ psi_end: suffix product =
+    # reversed prefix product of the reversed inverse matrices
+    det = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    minv = jnp.stack([
+        jnp.stack([m[..., 1, 1], -m[..., 0, 1]], axis=-1),
+        jnp.stack([-m[..., 1, 0], m[..., 0, 0]], axis=-1),
+    ], axis=-2) / det[..., None, None]
+    suff = jax.lax.associative_scan(lambda a, b: _m2x2(b, a),
+                                    minv[::-1], axis=0)[::-1]
+    psi_traj = jnp.stack([
+        suff[..., 0, 0] * psi_end[..., 0] + suff[..., 0, 1] * psi_end[..., 1],
+        suff[..., 1, 0] * psi_end[..., 0] + suff[..., 1, 1] * psi_end[..., 1],
+    ], axis=-1)
+    psi = jnp.concatenate([psi_traj, psi_end[None]], axis=0)
     return phi, psi
 
 

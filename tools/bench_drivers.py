@@ -26,9 +26,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def _steady(fn, reps):
@@ -118,8 +122,9 @@ def bench_nsev(d, reps, cdt):
     qj = jnp.asarray(q)
 
     def run():
+        # contspec only: the C harness passes NULL bound-state arrays
         return ft.nsev(qj, (-25.0, 25.0), m=d, xi_span=(-2.0, 2.0),
-                       kappa=+1).reflection_coefficient
+                       kappa=+1, want_bound_states=False).reflection_coefficient
 
     out, best = _steady(run, reps)
     return best, float(np.abs(np.asarray(out)[d // 2]))
