@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
+from functools import partial
 from typing import Optional
 
 import jax
@@ -229,14 +230,16 @@ def _build_tm_b_of_tau(contspec, m, d, t0, t1, deg, kappa, disc, opts):
     return _desc_to_asc(tm)
 
 
+@partial(jax.jit, static_argnums=(2,))
 def _precompensate_cdt(contspec, xi_span, m, bound_states):
     """Blaschke-factor precompensation (reference :1013-1033)."""
     xi0, xi1 = xi_span
     rdt = jnp.real(contspec).dtype
     xi = xi0 + (xi1 - xi0) / (m - 1) * jnp.arange(m, dtype=rdt)
+    bs = jnp.asarray(bound_states)
     out = contspec
-    for bs in np.asarray(bound_states):
-        out = out * (xi - bs) / (xi - np.conj(bs))
+    for i in range(bs.shape[0]):
+        out = out * (xi - bs[i]) / (xi - jnp.conj(bs[i]))
     return out
 
 
@@ -244,11 +247,14 @@ def _precompensate_cdt(contspec, xi_span, m, bound_states):
 # Darboux: adding the discrete spectrum
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def _multisoliton(bound_states, norm_consts, tgrid, zc_point):
     """Closed-form recursive multi-soliton (reference :796-840), vectorized
-    over the time axis; the K^2 recursion is unrolled (K is small)."""
-    k = len(bound_states)
+    over the time axis; the K^2 recursion is unrolled (K is small) inside
+    one jitted program."""
     bs = jnp.asarray(bound_states)
+    k = bs.shape[0]
+    norm_consts = jnp.asarray(norm_consts)
     bs_diff = 2j * jnp.imag(bs)
 
     def sweep(t_local, consts, conj_result):
@@ -348,11 +354,14 @@ def _compute_eigenfunctions(bound_states, q, t0, t1):
     return phi, psi
 
 
+@jax.jit
 def _darboux_with_seed(bound_states, norm_consts, q_seed, t0, t1):
-    """CDT on a seed potential (reference :841-891), vectorized over time."""
-    k = len(bound_states)
-    bs = [complex(b) for b in np.asarray(bound_states)]
-    phi, psi = _compute_eigenfunctions(bound_states, q_seed, t0, t1)
+    """CDT on a seed potential (reference :841-891), vectorized over time;
+    the K^2 dressing recursion is unrolled inside one jitted program."""
+    bs = jnp.asarray(bound_states)
+    k = bs.shape[0]
+    norm_consts = jnp.asarray(norm_consts)
+    phi, psi = _compute_eigenfunctions(bs, q_seed, t0, t1)
     qn = q_seed
     s1: list = []
     s2: list = []
@@ -368,8 +377,8 @@ def _darboux_with_seed(bound_states, norm_consts, q_seed, t0, t1):
             psi1 = tmp
         beta = (phi1 - norm_consts[i] * psi1) / (phi2 - norm_consts[i] * psi2)
         b2 = jnp.abs(beta) ** 2
-        s1.append((b2 * bs[i] + np.conj(bs[i])) / (1.0 + b2))
-        s2.append((2j * np.imag(bs[i]) * beta) / (1.0 + b2))
+        s1.append((b2 * bs[i] + jnp.conj(bs[i])) / (1.0 + b2))
+        s2.append((2j * jnp.imag(bs[i]) * beta) / (1.0 + b2))
         qn = qn - 2j * s2[i]
     return qn
 
@@ -407,7 +416,7 @@ def _add_discrete_spectrum(bound_states, normconsts_or_residues, q, t0, t1,
                 InverseCstMethod.USE_SEED_POTENTIAL_INSTEAD)
     if not use_seed:
         zc = int(np.searchsorted(np.asarray(tgrid), 0.0))
-        return _multisoliton(bs, list(nc), tgrid, zc)
+        return _multisoliton(bs, nc, tgrid, zc)
     return _darboux_with_seed(bs, nc, q, t0, t1)
 
 
