@@ -57,13 +57,14 @@ def kdvv_bound_states(u, t_span, *, opts: KdvvOpts | None = None,
 
     opts = opts or KdvvOpts()
     disc = opts.discretization
+    rsym = _is_real_valued(u)
     u = jnp.asarray(u)
     cdt = complex_dtype_of(u)
     u = u.astype(cdt)
     d = u.shape[-1]
     t0, t1 = float(t_span[0]), float(t_span[1])
     eps_t = (t1 - t0) / (d - 1)
-    tm, _ = kdv_fscatter(u, eps_t, disc, want=((0, 0),))
+    tm, _ = kdv_fscatter(u, eps_t, disc, want=((0, 0),), rsym=rsym)
     roots_z = poly_roots(tm[0, 0])
     lam = np.asarray(z_to_lambda(roots_z, eps_t, disc))
     # keep near-imaginary-axis roots with positive imaginary part, inside
@@ -77,15 +78,45 @@ def kdvv_bound_states(u, t_span, *, opts: KdvvOpts | None = None,
     return lam
 
 
+def _is_real_valued(u) -> bool:
+    """True when ``u`` is demonstrably real-valued.
+
+    Real-dtype arrays are decided from the dtype alone; complex host
+    arrays are inspected elementwise.  Complex *device* arrays and
+    tracers return False (inspection would force a device->host
+    transfer / is impossible) — callers that cast to complex early
+    should decide realness before the cast and pass ``rsym``
+    explicitly."""
+    dt = getattr(u, "dtype", None)
+    if dt is not None:
+        if not np.issubdtype(np.dtype(dt), np.complexfloating):
+            return True
+        if not isinstance(u, np.ndarray):
+            return False
+    try:
+        a = np.asarray(u)
+    except Exception:  # traced value: cannot decide, stay generic
+        return False
+    return not np.iscomplexobj(a) or not np.any(a.imag)
+
+
 def kdv_fscatter(u, eps_t: float, disc: Discretization,
-                 *, normalize: bool = True, want=None):
+                 *, normalize: bool = True, want=None,
+                 rsym: bool | None = None):
     """KdV polynomial scattering matrix: r = -1 then the AKNS kernel
-    (reference fnft__kdv_fscatter.c:36-83)."""
+    (reference fnft__kdv_fscatter.c:36-83).
+
+    A real-valued potential (the physical KdV case) gives all-real
+    transfer-matrix coefficients, so the FFT tree runs on
+    conjugate-symmetric half grids (``rsym``); pass ``rsym`` explicitly
+    when ``u`` is a complex-dtype array known to hold real values."""
     from fnft_tpu.ops.fscatter import fscatter as akns_fscatter
 
+    if rsym is None:
+        rsym = _is_real_valued(u)
     u = jnp.asarray(u)
     return akns_fscatter(u, -jnp.ones_like(u), eps_t, disc,
-                         normalize=normalize, want=want)
+                         normalize=normalize, want=want, rsym=bool(rsym))
 
 
 def kdv_scatter_matrix(q, lam, eps_t: float,
@@ -115,6 +146,7 @@ def kdvv(u, t_span, *, m: int, xi_span, opts: KdvvOpts | None = None) -> KdvvRes
     disc = opts.discretization
     check_arg(is_fast(disc) and degree(disc) > 0,
               "kdvv requires a fast (2SPLIT) discretization")
+    rsym = _is_real_valued(u)
     u = jnp.asarray(u)
     cdt = complex_dtype_of(u)
     u = u.astype(cdt)
@@ -127,7 +159,7 @@ def kdvv(u, t_span, *, m: int, xi_span, opts: KdvvOpts | None = None) -> KdvvRes
     eps_xi = (xi1 - xi0) / (m - 1)
     deg1 = degree(disc)
 
-    tm, _ = kdv_fscatter(u, eps_t, disc, want=((0, 1), (1, 1)))
+    tm, _ = kdv_fscatter(u, eps_t, disc, want=((0, 1), (1, 1)), rsym=rsym)
 
     # evaluate H12, H22 at z(-xi_i), xi_i = xi0 + i eps_xi
     a_pt = complex(np.exp(-2j * xi0 * eps_t / deg1))

@@ -163,9 +163,10 @@ def transfer_matrix_coeffs(q, r, eps_t: float, disc: Discretization):
 
 
 @partial(jax.jit,
-         static_argnames=("eps_t", "disc", "normalize", "want", "jsym"))
+         static_argnames=("eps_t", "disc", "normalize", "want", "jsym",
+                          "rsym"))
 def fscatter(q, r, eps_t: float, disc: Discretization, *, normalize: bool = True,
-             want=None, jsym: int | None = None):
+             want=None, jsym: int | None = None, rsym: bool = False):
     """Combined polynomial scattering matrix of D samples.
 
     Returns (transfer_matrix ``[..., 2, 2, D*deg+1]``, w) with
@@ -174,7 +175,10 @@ def fscatter(q, r, eps_t: float, disc: Discretization, *, normalize: bool = True
     entries the caller reads; the rest come back zero (saves final-size
     inverse FFTs in the tree).  ``jsym``: see
     :func:`fnft_tpu.ops.poly.fmult2x2_tree` — pass the kappa sign when
-    ``r == -kappa * conj(q)`` to halve the tree's FFT work.
+    ``r == -kappa * conj(q)`` to halve the tree's FFT work.  ``rsym``:
+    pass True when ``q`` and ``r`` are both real-valued (KdV) so the
+    tree carries conjugate-symmetric half grids.
     """
     p = transfer_matrix_coeffs(q, r, eps_t, disc)
-    return fmult2x2_tree(p, normalize=normalize, want=want, jsym=jsym)
+    return fmult2x2_tree(p, normalize=normalize, want=want, jsym=jsym,
+                         rsym=rsym)

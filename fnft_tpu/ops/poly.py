@@ -333,6 +333,102 @@ def _value_exit_sym(Vc, tc, cc, kappa: int, want=None):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Real-coefficient value-space levels (KdV: r = -1 and real u give transfer
+# matrices with all-real polynomial coefficients, closed under products).
+#
+# Real coefficients make every value grid conjugate-symmetric,
+# V[N-k] = conj(V[k]), so the tree carries only bins 0..N/2 (rfft layout).
+# Per level the even bins of the doubled grid are pointwise products of the
+# carried halves; the odd bins cost one irfft + two rffts per factor (the
+# twisted sequence x*w_{2N}^j splits into the two real sequences x*cos and
+# x*sin), ~25% fewer transform flops and half the pointwise/memory work of
+# the generic complex path.
+# ---------------------------------------------------------------------------
+
+
+def _value_enter_real(p):
+    """Real coefficients ``[..., n, 2, 2, N+1]`` -> half-grid values (V, t).
+
+    V[..., k] = p(w_N^k) + aliased top coefficient for k = 0..N/2 (rfft
+    layout); t is the (real) z^N coefficient."""
+    n_coef = p.shape[-1]
+    t = p[..., n_coef - 1]
+    V = jnp.fft.rfft(p[..., : n_coef - 1], axis=-1) + t[..., None]
+    return V, t
+
+
+def _half_twiddle_real(n: int, rdt):
+    """cos/sin of pi*j/n for j = 0..n-1 (device-computed)."""
+    ang = jnp.arange(n, dtype=rdt) * (math.pi / n)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _value_odd_bins_real(V, t, tw_cos, tw_sin):
+    """Odd-bin evaluations o[k] = p(w_{2N}^{2k+1}), k = 0..N/2-1.
+
+    Same algebra as :func:`_value_odd_bins`, but the coefficients are real:
+    x = irfft(V) recovers them with the aliased top coefficient folded in,
+    and FFT_N(x * w_{2N}^j)[k] = rfft(x*cos)[k] - i rfft(x*sin)[k] for
+    k <= N/2 — two real transforms instead of one complex one. Conjugate
+    symmetry of the odd half (o[N-1-k] = conj(o[k])) makes k < N/2 enough."""
+    n = 2 * (V.shape[-1] - 1)
+    x = jnp.fft.irfft(V, n=n, axis=-1)
+    oc = jnp.fft.rfft(x * tw_cos, axis=-1)[..., :-1]
+    osn = jnp.fft.rfft(x * tw_sin, axis=-1)[..., :-1]
+    return oc - 1j * osn - (2.0 * t)[..., None]
+
+
+def _value_level_real(V, t, w, do_norm: bool):
+    """One real-symmetric tree level: N/2+1 half-grids -> N+1 half-grids."""
+    Va, Vb = V[..., 0::2, :, :, :], V[..., 1::2, :, :, :]
+    ta, tb = t[..., 0::2, :, :], t[..., 1::2, :, :]
+    n = 2 * (V.shape[-1] - 1)
+    rdt = t.dtype
+    tw_cos, tw_sin = _half_twiddle_real(n, rdt)
+    even = _mat2x2_mul(Vb, Va)                       # bins 0, 2, .., 2N/2
+    odd = _mat2x2_mul(_value_odd_bins_real(Vb, tb, tw_cos, tw_sin),
+                      _value_odd_bins_real(Va, ta, tw_cos, tw_sin))
+    # interleave: out[2m] = even[m] (m <= N/2), out[2m+1] = odd[m] (m < N/2)
+    odd_p = jnp.concatenate(
+        [odd, jnp.zeros(odd.shape[:-1] + (1,), dtype=odd.dtype)], axis=-1)
+    V_out = jnp.stack([even, odd_p], axis=-1).reshape(
+        even.shape[:-1] + (2 * (even.shape[-1]),))[..., : n + 1]
+    t_out = _mat2x2_mul(tb[..., None], ta[..., None])[..., 0]
+    if w is not None:
+        w = w[..., 0::2] + w[..., 1::2]
+    if do_norm:
+        # uncarried bins are conjugates of carried ones: same magnitudes
+        max_abs = jnp.maximum(
+            jnp.max(jnp.abs(V_out), axis=(-3, -2, -1)),
+            jnp.max(jnp.abs(t_out), axis=(-2, -1)))
+        a_exp = _exp_from_max(max_abs)
+        scale = jnp.ldexp(jnp.asarray(1.0, rdt), -a_exp)
+        V_out = V_out * scale[..., None, None, None]
+        t_out = t_out * scale[..., None, None]
+        w = w + a_exp if w is not None else a_exp
+    return V_out, t_out, w
+
+
+def _value_exit_real(V, t, cdt, want=None):
+    """Half-grid values -> complex coefficients ``[..., 2, 2, N+1]``.
+
+    Entries outside ``want`` are zero; coefficients are mathematically
+    real and cast to ``cdt`` for the downstream (complex) consumers."""
+    n = 2 * (V.shape[-1] - 1)
+    if want is None:
+        want = ((0, 0), (0, 1), (1, 0), (1, 1))
+    Vs = jnp.stack([V[..., i, j, :] for i, j in want], axis=-2)
+    ts = jnp.stack([t[..., i, j] for i, j in want], axis=-1)
+    qs = jnp.fft.irfft(Vs, n=n, axis=-1)
+    qs = qs.at[..., 0].add(-ts)
+    qs = jnp.concatenate([qs, ts[..., None]], axis=-1)
+    out = jnp.zeros(V.shape[:-3] + (2, 2, n + 1), dtype=cdt)
+    for k, (i, j) in enumerate(want):
+        out = out.at[..., i, j, :].set(qs[..., k, :].astype(cdt))
+    return out
+
+
 def _want_mask(want) -> np.ndarray:
     """Boolean [2, 2, 1] mask selecting the ``want`` matrix entries
     (shared with the df64 tree, ops/df64_pipeline.py)."""
@@ -395,7 +491,7 @@ def _fused_levels_active() -> int:
 
 
 def fmult2x2_tree(p, *, normalize: bool = True, want=None,
-                  jsym: int | None = None):
+                  jsym: int | None = None, rsym: bool = False):
     """Multiply a stack of 2x2 polynomial matrices via a log-depth FFT tree.
 
     Args:
@@ -411,6 +507,12 @@ def fmult2x2_tree(p, *, normalize: bool = True, want=None,
         half the FFT work and memory.  Requires n to be a power of two
         (identity padding breaks the symmetry); silently falls back to
         the generic path otherwise.
+      rsym: asserts every input coefficient is real (KdV: r = -1 with a
+        real potential; closed under products).  The value-space levels
+        then carry conjugate-symmetric half grids (rfft layout) — ~25%
+        fewer transform flops and half the pointwise/memory work.  The
+        result is still returned in the complex dtype of ``p``.
+        Takes precedence over ``jsym``.
 
     Returns:
       (result, w): ``result[..., 2, 2, n*deg+1]`` and int32 ``w`` with
@@ -421,11 +523,16 @@ def fmult2x2_tree(p, *, normalize: bool = True, want=None,
     """
     n = p.shape[-4]
     deg_in = p.shape[-1] - 1
+    cdt_in = complex_dtype_of(p)
     p, _ = _pad_to_power_of_2_2x2(p)
+    if rsym:
+        # real-coefficient contract: drop the (zero) imaginary parts so the
+        # direct-convolution levels run in real arithmetic too
+        p = jnp.real(p)
     n_pad = p.shape[-4]
     levels = int(math.log2(n_pad)) if n_pad > 1 else 0
 
-    fuse = _fused_levels_active()
+    fuse = 0 if rsym else _fused_levels_active()
     if (fuse > 0 and deg_in + 1 <= 4 and levels > fuse
             and n_pad % ((1 << fuse) * 128) == 0):
         from fnft_tpu.ops.pallas_kernels import fused_tree_levels
@@ -452,7 +559,13 @@ def fmult2x2_tree(p, *, normalize: bool = True, want=None,
         p, w = _tree_level_2x2(p, w, _do_norm(lv))
         lv += 1
     if _value_tree_enabled() and levels - lv >= 2:
-        if jsym in (1, -1) and n == n_pad:
+        if rsym and (p.shape[-1] - 1) % 2 == 0:
+            V, t = _value_enter_real(p)
+            while lv < levels:
+                V, t, w = _value_level_real(V, t, w, _do_norm(lv))
+                lv += 1
+            p = _value_exit_real(V, t, cdt_in, want=want)
+        elif jsym in (1, -1) and n == n_pad and not rsym:
             Vc, tc, cc = _value_enter_sym(p)
             while lv < levels:
                 Vc, tc, cc, w = _value_level_sym(Vc, tc, cc, w, jsym,
@@ -474,6 +587,9 @@ def fmult2x2_tree(p, *, normalize: bool = True, want=None,
     result = p[..., 0, :, :, :]
     # identity padding contributes degree 0; true degree is n*deg_in
     result = result[..., : n * deg_in + 1]
+    if rsym and not jnp.iscomplexobj(result):
+        # fallback paths may have stayed in real arithmetic end-to-end
+        result = result.astype(cdt_in)
     if w is None:
         w_out = jnp.zeros(result.shape[:-3], dtype=jnp.int32)
     else:
