@@ -8,12 +8,27 @@ peeling works on ascending coefficients:
   Recursing on it yields those samples and T2^{-1}(z) (up to a power of z);
   T1 = T2^{-1} T (middle coefficient window) covers the earlier samples.
 
-The recursion tree is static, so it unrolls at trace time; every node is a
-pair of polynomial 2x2 products. Small products use direct (quadratic)
-convolution to keep the trace light; large ones use FFTs. The recursion
-depth is log2(D) and the *execution* order is inherently sequential in the
-sample blocks, but all matrix/coefficient arithmetic inside a node is
-batched — and the whole transform vmaps over a batch of signals.
+Two execution strategies share the same math:
+
+* **traced** — the recursion tree unrolls at trace time into one XLA
+  program.  Ideal under ``vmap``/outer ``jit`` and for small D, but the
+  program grows like O(D / scan_cutoff), so XLA compile time explodes for
+  large D (minutes at D = 2^14, unusable at 2^17).
+* **staged** (concrete inputs) — a host-side recursion dispatches small
+  jitted kernels whose compiled executables are cached *by shape*: one
+  leaf program (every leaf block has identical shape) plus two kernels
+  per level.  Compile cost drops from O(D) to O(log D) while the
+  arithmetic is unchanged; the sequential block order matches the
+  reference C's own execution order.
+
+Every block inverse Ti is J-symmetric — Ti22 = rev(conj(Ti11)),
+Ti12 = -kappa rev(conj(Ti21)) — *by construction* (the one-sample base
+matrices are, and the symmetry is closed under polynomial matrix
+products; see ops.poly._value_level_sym for the same involution in the
+forward tree).  Products against a Ti factor therefore FFT only its
+first column and derive the other's bins as w^n conj(.), and
+Ti x Ti merges also invert only the first column: half the transform
+work of a generic product.
 """
 
 from __future__ import annotations
@@ -30,9 +45,51 @@ from fnft_tpu.utils.misc import next_fft_length
 
 _FFT_THRESHOLD = 32  # below this degree, direct convolution traces leaner
 
+_SCAN_CUTOFF = 32    # blocks at or below this degree peel sequentially
 
-def _polymatmul(a, b, out_len=None):
-    """(a @ b)(z) for [..., 2, 2, ca] x [..., 2, 2, cb] ascending coeffs."""
+# staged path: sub-blocks of this degree run the traced recursion (one
+# compile, reused for every block); above it, host-level recursion.
+_STAGED_LEAF_DEG = 1024
+# concrete inputs below this degree just use the monolithic traced jit
+_STAGED_MIN_DEG = 2 * _STAGED_LEAF_DEG
+
+
+def _jsym_complete(col11, col21, kappa: int):
+    """Assemble a J-symmetric [..., 2, 2, c] matrix from its first column.
+
+    T22 = rev(conj(T11)), T12 = -kappa rev(conj(T21)) at the nominal
+    degree c - 1."""
+    t12 = -kappa * jnp.conj(col21[..., ::-1])
+    t22 = jnp.conj(col11[..., ::-1])
+    return jnp.stack([jnp.stack([col11, t12], axis=-2),
+                      jnp.stack([col21, t22], axis=-2)], axis=-3)
+
+
+def _fft_jsym(x, length: int, kappa: int):
+    """FFT bins of a J-symmetric matrix from 2 transforms (not 4).
+
+    On the unit circle rev(conj(p))(z_k) = z_k^n conj(p(z_k)) with
+    z_k = exp(-2i pi k / length) (the FFT's evaluation points) and n the
+    nominal degree, so the second column's bins are elementwise derived."""
+    f11 = jnp.fft.fft(x[..., 0, 0, :], n=length, axis=-1)
+    f21 = jnp.fft.fft(x[..., 1, 0, :], n=length, axis=-1)
+    n = x.shape[-1] - 1
+    k = jnp.arange(length, dtype=jnp.result_type(x.real))
+    w = jnp.exp((-2j * jnp.pi * n / length) * k).astype(x.dtype)
+    f22 = w * jnp.conj(f11)
+    f12 = (-kappa) * (w * jnp.conj(f21))
+    return f11, f12, f21, f22
+
+
+def _polymatmul(a, b, out_len=None, a_jsym: int | None = None,
+                jsym: int | None = None):
+    """(a @ b)(z) for [..., 2, 2, ca] x [..., 2, 2, cb] ascending coeffs.
+
+    ``a_jsym``: kappa sign when ``a`` alone is J-symmetric (its FFT runs
+    on the first column only).  ``jsym``: kappa sign when *both* factors
+    and hence the product are J-symmetric (2 output inverse transforms
+    instead of 4, second column reconstructed exactly in coefficient
+    space).  Symmetry is trusted, not checked."""
     ca, cb = a.shape[-1], b.shape[-1]
     n_out = ca + cb - 1
     if min(ca, cb) <= _FFT_THRESHOLD:
@@ -44,11 +101,30 @@ def _polymatmul(a, b, out_len=None):
             out = out.at[..., s:s + cb].add(seg)
     else:
         length = next_fft_length(n_out)
-        fa = jnp.fft.fft(a, n=length, axis=-1)
-        fb = jnp.fft.fft(b, n=length, axis=-1)
-        out = jnp.fft.ifft(
-            _mat2x2_mul(fa, fb), axis=-1
-        )[..., :n_out].astype(a.dtype)
+        if jsym is not None or a_jsym is not None:
+            fa11, fa12, fa21, fa22 = _fft_jsym(a, length,
+                                               jsym if jsym is not None
+                                               else a_jsym)
+        else:
+            fa = jnp.fft.fft(a, n=length, axis=-1)
+            fa11, fa12 = fa[..., 0, 0, :], fa[..., 0, 1, :]
+            fa21, fa22 = fa[..., 1, 0, :], fa[..., 1, 1, :]
+        if jsym is not None:
+            fb11, _, fb21, _ = _fft_jsym(b, length, jsym)
+            o11 = fa11 * fb11 + fa12 * fb21
+            o21 = fa21 * fb11 + fa22 * fb21
+            c11 = jnp.fft.ifft(o11, axis=-1)[..., :n_out].astype(a.dtype)
+            c21 = jnp.fft.ifft(o21, axis=-1)[..., :n_out].astype(a.dtype)
+            out = _jsym_complete(c11, c21, jsym)
+        else:
+            fb = jnp.fft.fft(b, n=length, axis=-1)
+            fb11, fb12 = fb[..., 0, 0, :], fb[..., 0, 1, :]
+            fb21, fb22 = fb[..., 1, 0, :], fb[..., 1, 1, :]
+            rows = [fa11 * fb11 + fa12 * fb21, fa11 * fb12 + fa12 * fb22,
+                    fa21 * fb11 + fa22 * fb21, fa21 * fb12 + fa22 * fb22]
+            f_out = jnp.stack(rows, axis=-2)
+            c_out = jnp.fft.ifft(f_out, axis=-1)[..., :n_out].astype(a.dtype)
+            out = c_out.reshape(c_out.shape[:-2] + (2, 2, n_out))
     if out_len is not None:
         out = out[..., :out_len]
     return out
@@ -79,9 +155,6 @@ def _base_case(t, eps_t: float, kappa: int, disc: Discretization):
     return q_sample, ti
 
 
-_SCAN_CUTOFF = 32  # blocks at or below this degree peel sequentially
-
-
 def _peel_scan(t, deg: int, eps_t: float, kappa: int, disc: Discretization):
     """Sequential one-sample layer peel of a whole block via lax.scan.
 
@@ -91,23 +164,39 @@ def _peel_scan(t, deg: int, eps_t: float, kappa: int, disc: Discretization):
     small blocks at the bottom of the recursion where the tree would
     otherwise dominate XLA compile time.
 
+    The accumulated block inverse is J-symmetric, so the scan carries
+    only its first column (half the accumulation work) and the full
+    matrix is reconstructed once at exit.
+
     Returns (q [..., deg] natural order, Ti [..., 2, 2, deg+1]).
     """
     c = deg + 1
 
     def step(carry, _):
-        t_cur, acc = carry
+        t_cur, acc = carry                       # acc: [..., 2, c] column
         q_s, ti = _base_case(t_cur[..., :2], eps_t, kappa, disc)
         t_next = _polymatmul(ti, t_cur)[..., 1: c + 1]
-        # accumulate the block inverse: earlier-sample inverses multiply
-        # from the left (Ti_total = V_0 V_1 ... V_last)
-        acc = _polymatmul(ti, acc)[..., :c]
+        # earlier-sample inverses multiply from the left
+        # (Ti_total = V_0 V_1 ... V_last); column update: 2x2 dot per
+        # coefficient slot of the degree-1 factor
+        a0, b0 = ti[..., 0, 0, 0, None], ti[..., 0, 1, 0, None]
+        c0, d0 = ti[..., 1, 0, 0, None], ti[..., 1, 1, 0, None]
+        a1, b1 = ti[..., 0, 0, 1, None], ti[..., 0, 1, 1, None]
+        c1, d1 = ti[..., 1, 0, 1, None], ti[..., 1, 1, 1, None]
+        u, v = acc[..., 0, :], acc[..., 1, :]
+        r0 = a0 * u + b0 * v
+        r1 = c0 * u + d0 * v
+        s0 = a1 * u + b1 * v
+        s1 = c1 * u + d1 * v
+        acc = jnp.stack([r0.at[..., 1:].add(s0[..., :-1]),
+                         r1.at[..., 1:].add(s1[..., :-1])], axis=-2)
         return (t_next, acc), q_s
 
-    eye = jnp.zeros(t.shape[:-3] + (2, 2, c), dtype=t.dtype)
-    eye = eye.at[..., 0, 0, 0].set(1.0).at[..., 1, 1, 0].set(1.0)
-    (t_fin, ti_total), q_rev = jax.lax.scan(step, (t, eye), None, length=deg)
+    eye = jnp.zeros(t.shape[:-3] + (2, c), dtype=t.dtype)
+    eye = eye.at[..., 0, 0].set(1.0)
+    (t_fin, acc), q_rev = jax.lax.scan(step, (t, eye), None, length=deg)
     q = jnp.moveaxis(q_rev, 0, -1)[..., ::-1]
+    ti_total = _jsym_complete(acc[..., 0, :], acc[..., 1, :], kappa)
     return q, ti_total
 
 
@@ -125,19 +214,72 @@ def _recurse(t, deg: int, eps_t: float, kappa: int, disc: Discretization,
     t2_approx = t[..., :d2 + 1]
     q_hi, t2i = _recurse(t2_approx, d2, eps_t, kappa, disc, True)
     # T1 = T2i * T; true T1 sits in the coefficient window [d2, deg]
-    prod = _polymatmul(t2i, t, out_len=deg + 1)
+    prod = _polymatmul(t2i, t, out_len=deg + 1, a_jsym=kappa)
     t1 = prod[..., d2: deg + 1]
     q_lo, t1i = _recurse(t1, d2, eps_t, kappa, disc, need_inverse)
-    ti = _polymatmul(t1i, t2i) if need_inverse else None
+    ti = _polymatmul(t1i, t2i, jsym=kappa) if need_inverse else None
     return jnp.concatenate([q_lo, q_hi], axis=-1), ti
 
 
+@partial(jax.jit,
+         static_argnames=("deg", "eps_t", "kappa", "disc", "need_inverse"))
+def _recurse_jit(t, deg: int, eps_t: float, kappa: int,
+                 disc: Discretization, need_inverse: bool):
+    """Shape-cached traced recursion: the staged driver's leaf program
+    (compiled once, reused for every same-shape sub-block)."""
+    return _recurse(t, deg, eps_t, kappa, disc, need_inverse)
+
+
+@partial(jax.jit, static_argnames=("d2", "deg", "kappa"))
+def _t1_stage(t2i, t, d2: int, deg: int, kappa: int):
+    """T1 window: (T2i @ T)[d2 : deg+1], T2i J-symmetric."""
+    prod = _polymatmul(t2i, t, out_len=deg + 1, a_jsym=kappa)
+    return prod[..., d2: deg + 1]
+
+
+@partial(jax.jit, static_argnames=("kappa",))
+def _merge_stage(t1i, t2i, kappa: int):
+    """Block-inverse merge Ti = T1i @ T2i of two J-symmetric factors."""
+    return _polymatmul(t1i, t2i, jsym=kappa)
+
+
+def _recurse_staged(t, deg: int, eps_t: float, kappa: int,
+                    disc: Discretization, need_inverse: bool,
+                    out: list, offset: int):
+    """Host-level recursion over shape-cached jitted kernels.
+
+    Leaf q blocks land in ``out`` as (sample_offset, block); the caller
+    concatenates them once in time order.  Compile cost is O(log D):
+    one traced leaf program plus two kernels per level.
+    """
+    if deg <= _STAGED_LEAF_DEG:
+        q, ti = _recurse_jit(t, deg, eps_t, kappa, disc, need_inverse)
+        out.append((offset, q))
+        return ti
+    d2 = deg // 2
+    t2i = _recurse_staged(t[..., :d2 + 1], d2, eps_t, kappa, disc, True,
+                          out, offset + d2)
+    t1 = _t1_stage(t2i, t, d2, deg, kappa)
+    t1i = _recurse_staged(t1, d2, eps_t, kappa, disc, need_inverse,
+                          out, offset)
+    return _merge_stage(t1i, t2i, kappa) if need_inverse else None
+
+
 @partial(jax.jit, static_argnames=("eps_t", "kappa", "disc"))
+def _finvscatter_traced(t, eps_t: float, kappa: int, disc: Discretization):
+    deg = t.shape[-1] - 1
+    q, _ = _recurse(t, deg, eps_t, kappa, disc, need_inverse=False)
+    return q
+
+
 def finvscatter(transfer_matrix, eps_t: float, kappa: int,
                 disc: Discretization = Discretization.SPLIT2A):
     """Recover D = deg/deg1 samples from T ``[..., 2, 2, deg+1]`` (ascending).
 
-    D must be a power of two (reference :265-267).
+    D must be a power of two (reference :265-267).  Concrete inputs at
+    large D run the staged driver (host recursion over shape-cached
+    kernels — O(log D) compiles); traced inputs (under jit/vmap) and
+    small D use the fully traced recursion.
     """
     t = jnp.asarray(transfer_matrix)
     cdt = complex_dtype_of(t)
@@ -146,5 +288,9 @@ def finvscatter(transfer_matrix, eps_t: float, kappa: int,
     d = deg // max(degree(disc), 1)
     if d < 2 or d & (d - 1):
         raise ValueError("D must be a positive power of two")
-    q, _ = _recurse(t, deg, eps_t, kappa, disc, need_inverse=False)
-    return q
+    if isinstance(t, jax.core.Tracer) or deg < _STAGED_MIN_DEG:
+        return _finvscatter_traced(t, eps_t, kappa, disc)
+    out: list = []
+    _recurse_staged(t, deg, eps_t, kappa, disc, False, out, 0)
+    out.sort(key=lambda kv: kv[0])
+    return jnp.concatenate([blk for _, blk in out], axis=-1)

@@ -1,0 +1,135 @@
+"""Staged finvscatter: host-level recursion, J-symmetric products.
+
+The staged driver (concrete inputs, large deg) must reproduce the traced
+recursion exactly; the J-symmetric product kernels must match generic
+polynomial matrix products on matrices with the transfer-matrix
+involution T22 = rev(conj(T11)), T12 = -kappa rev(conj(T21))
+(reference fnft__nse_fscatter.c product structure; the inverse one-step
+matrices of fnft__nse_finvscatter.c:167-227 satisfy it by construction).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fnft_tpu.models.discretization import Discretization
+from fnft_tpu.ops import finvscatter as fi
+from fnft_tpu.ops.fscatter import fscatter
+
+
+def _rand_jsym(n, kappa, rng, batch=()):
+    a = rng.normal(size=batch + (n + 1,)) + 1j * rng.normal(size=batch + (n + 1,))
+    c = rng.normal(size=batch + (n + 1,)) + 1j * rng.normal(size=batch + (n + 1,))
+    t = np.zeros(batch + (2, 2, n + 1), complex)
+    t[..., 0, 0, :] = a
+    t[..., 1, 0, :] = c
+    t[..., 1, 1, :] = np.conj(a[..., ::-1])
+    t[..., 0, 1, :] = -kappa * np.conj(c[..., ::-1])
+    return t
+
+
+@pytest.mark.parametrize("kappa", [+1, -1])
+@pytest.mark.parametrize("batch", [(), (3,)])
+def test_polymatmul_jsym_matches_generic(kappa, batch):
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(_rand_jsym(40, kappa, rng, batch))
+    b = jnp.asarray(_rand_jsym(56, kappa, rng, batch))
+    ref = np.asarray(fi._polymatmul(a, b))
+    scale = np.max(np.abs(ref))
+    both = np.asarray(fi._polymatmul(a, b, jsym=kappa))
+    assert np.max(np.abs(both - ref)) < 1e-13 * scale
+    one = np.asarray(fi._polymatmul(a, b, a_jsym=kappa))
+    assert np.max(np.abs(one - ref)) < 1e-13 * scale
+    # windows used by the recursion survive the out_len truncation
+    win = np.asarray(fi._polymatmul(a, b, out_len=57, jsym=kappa))
+    assert np.max(np.abs(win - ref[..., :57])) < 1e-13 * scale
+
+
+@pytest.mark.parametrize("kappa", [+1, -1])
+def test_peel_scan_inverse_is_jsym(kappa):
+    rng = np.random.default_rng(7)
+    deg = 24
+    q = (rng.normal(size=deg) + 1j * rng.normal(size=deg)) * 0.3
+    qj = jnp.asarray(q)
+    eps_t = 0.11
+    tm, _ = fscatter(qj, -kappa * jnp.conj(qj), eps_t,
+                     Discretization.SPLIT2A, normalize=False)
+    tm = tm.astype(jnp.complex128)
+    q_out, ti = fi._peel_scan(tm, deg, eps_t, kappa, Discretization.SPLIT2A)
+    ti = np.asarray(ti)
+    assert np.max(np.abs(ti[1, 1] - np.conj(ti[0, 0][::-1]))) < 1e-14
+    assert np.max(np.abs(ti[0, 1] + kappa * np.conj(ti[1, 0][::-1]))) < 1e-14
+    if kappa == +1:
+        # exact sample recovery and exact block inversion hold only in the
+        # focusing case: the reference's 2SPLIT2A base case uses ATAN for
+        # both kappa signs (fnft__nse_finvscatter.c:201-210), which is the
+        # exact inverse of the focusing one-step matrix only (its own
+        # roundtrip test is focusing: fnft_nsev_inverse_test_against_forward
+        # _focusing_2split2A.c).
+        assert np.max(np.abs(np.asarray(q_out) - q)) < 1e-10
+        # Ti really inverts the block: Ti @ T == z^deg * I (up to roundoff)
+        prod = np.asarray(fi._polymatmul(jnp.asarray(ti), tm))
+        expect = np.zeros_like(prod)
+        expect[0, 0, deg] = 1.0
+        expect[1, 1, deg] = 1.0
+        assert np.max(np.abs(prod - expect)) < 1e-12
+
+
+@pytest.mark.parametrize("kappa", [+1, -1])
+def test_staged_matches_traced_roundtrip(kappa):
+    d = 4096  # deg above _STAGED_MIN_DEG -> concrete input takes staged path
+    assert d >= fi._STAGED_MIN_DEG
+    t_span = (-8.0, 8.0)
+    eps_t = (t_span[1] - t_span[0]) / (d - 1)
+    t = np.linspace(*t_span, d)
+    q = 0.8 / np.cosh(t) * np.exp(1j * np.linspace(0, 3, d))
+    qj = jnp.asarray(q)
+    tm, _ = fscatter(qj, -kappa * jnp.conj(qj), eps_t,
+                     Discretization.SPLIT2A, normalize=False)
+    tm = jax.block_until_ready(tm.astype(jnp.complex128))
+    q_tr = np.asarray(fi._finvscatter_traced(tm, eps_t, kappa,
+                                             Discretization.SPLIT2A))
+    q_st = np.asarray(fi.finvscatter(tm, eps_t, kappa,
+                                     Discretization.SPLIT2A))
+    scale = np.max(np.abs(q))
+    assert np.max(np.abs(q_st - q_tr)) < 1e-13 * scale
+    if kappa == +1:  # ATAN base case is exact only for focusing (see above)
+        assert np.max(np.abs(q_st - q)) < 1e-10 * scale
+
+
+def test_vmap_uses_traced_path_and_matches():
+    d = 512
+    eps_t = 16.0 / (d - 1)
+    t = np.linspace(-8.0, 8.0, d)
+    qs = np.stack([a / np.cosh(t) for a in (0.5, 0.9)]).astype(complex)
+    qj = jnp.asarray(qs)
+    tm, _ = fscatter(qj, -jnp.conj(qj), eps_t, Discretization.SPLIT2A,
+                     normalize=False)
+    tm = tm.astype(jnp.complex128)
+    out_v = np.asarray(jax.vmap(
+        lambda x: fi.finvscatter(x, eps_t, 1, Discretization.SPLIT2A))(tm))
+    out_s = np.stack([
+        np.asarray(fi.finvscatter(tm[i], eps_t, 1, Discretization.SPLIT2A))
+        for i in range(2)])
+    assert np.max(np.abs(out_v - out_s)) < 1e-13
+
+
+@pytest.mark.skipif(not os.environ.get("FNFT_SLOW_TESTS"),
+                    reason="large-D staged inverse (set FNFT_SLOW_TESTS=1)")
+def test_staged_large_d_roundtrip():
+    """D = 2^16 forward->inverse roundtrip; previously untraceable in
+    reasonable compile time (the unrolled recursion tree)."""
+    d = 1 << 16
+    t_span = (-20.0, 20.0)
+    eps_t = (t_span[1] - t_span[0]) / (d - 1)
+    t = np.linspace(*t_span, d)
+    q = 1.1j / np.cosh(t)
+    qj = jnp.asarray(q)
+    tm, _ = fscatter(qj, -jnp.conj(qj), eps_t, Discretization.SPLIT2A,
+                     normalize=False)
+    tm = jax.block_until_ready(tm.astype(jnp.complex128))
+    q_out = np.asarray(fi.finvscatter(tm, eps_t, 1, Discretization.SPLIT2A))
+    assert np.max(np.abs(q_out - q)) < 1e-8
