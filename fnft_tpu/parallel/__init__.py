@@ -13,6 +13,11 @@ from fnft_tpu.parallel.batch_nsep import (  # noqa: F401
     batched_nsep,
     make_batched_nsep_fn,
 )
+from fnft_tpu.parallel.dshard import (  # noqa: F401
+    make_dshard_contspec,
+    make_dshard_kdvv_contspec,
+    make_gridsharded_chirpz,
+)
 from fnft_tpu.parallel.dshard_boundstates import (  # noqa: F401
     dshard_boundstates_reference,
     make_dshard_boundstates,

@@ -227,6 +227,83 @@ def dshard_contspec_reference(q, d: int, t_span, m: int, xi_span, *,
 
 
 # ---------------------------------------------------------------------------
+# D-sharded KdV contspec (reference fnft_kdvv.c:129-204 semantics)
+# ---------------------------------------------------------------------------
+
+def make_dshard_kdvv_contspec(d: int, t_span, m: int, xi_span, mesh: Mesh, *,
+                              disc: Discretization = Discretization.SPLIT8B,
+                              seq_axis: str = "seq",
+                              batch_axis: str | None = None,
+                              rsym: bool = True):
+    """Compile a D-sharded KdV contspec: ``u[..., D] -> rho[..., M]``.
+
+    Same chunk-tree + value-space butterfly as :func:`make_dshard_contspec`
+    but with the KdV kernel: r = -1 per sample, the real-coefficient
+    (``rsym``) local trees, evaluation at the negated grid z(-xi), and the
+    reference's reflection formula rho = e^{2i xi' (T1+eps/2)} H12 /
+    (2i xi' H22 - H12) with xi' = -xi (fnft_kdvv.c:129-204; the 2SPLIT2A
+    sqrt-z fix of :186-195).  ``rsym=False`` only if ``u`` may be complex.
+    """
+    if not is_fast(disc) or upsampling_factor(disc) != 1:
+        raise ValueError(f"kdvv dshard supports fast ups=1 schemes; got {disc}")
+    from fnft_tpu.models.kdvv import BOUNDARY_COEFF
+    from fnft_tpu.parallel.sharding import as_auto_mesh
+    mesh = as_auto_mesh(mesh)
+    s = mesh.shape[seq_axis]
+    if d % s or m % s:
+        raise ValueError(f"D={d} and M={m} must be divisible by the "
+                         f"'{seq_axis}' mesh size {s}")
+
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    eps_t = (t1 - t0) / (d - 1)
+    eps_xi = (xi1 - xi0) / (m - 1) if m > 1 else 0.0
+    deg1 = degree(disc)
+    a_pt = complex(np.exp(-2j * xi0 * eps_t / deg1))
+    w_pt = complex(np.exp(-2j * eps_xi * eps_t / deg1))
+    m_loc = m // s
+
+    def body(u_loc):
+        p = transfer_matrix_coeffs(u_loc, -jnp.ones_like(u_loc), eps_t, disc)
+        tm, w = fmult2x2_tree(p, normalize=True, rsym=rsym)
+        c = tm.shape[-1]
+        flat = tm.reshape(tm.shape[:-3] + (4, c))
+        vals = chirpz(flat, a_pt, w_pt, m)                # [..., 4, M]
+        v = jnp.moveaxis(vals, -2, -1).reshape(tm.shape[:-3] + (m, 2, 2))
+        v, w = _value_renorm(v, w)
+        v, w = _butterfly_fold(v, w, seq_axis, s)
+        h12, h22 = v[..., 0, 1], v[..., 1, 1]
+        rdt = jnp.real(v).dtype
+        xi_neg = -(xi0 + eps_xi * jnp.arange(m, dtype=rdt))
+        if disc is Discretization.SPLIT2A:
+            # undo the first-order-polynomial trick (fnft_kdvv.c:186-195)
+            h12 = h12 / jnp.exp(1j * xi_neg * (eps_t / deg1))
+        num = jnp.exp(2j * xi_neg * (t1 + BOUNDARY_COEFF * eps_t)) * h12
+        rho = num / (2j * xi_neg * h22 - h12)   # shared 2^w scale cancels
+        idx = jax.lax.axis_index(seq_axis)
+        return {"rho": jax.lax.dynamic_slice_in_dim(rho, idx * m_loc,
+                                                    m_loc, -1)}
+
+    lead = (batch_axis,) if batch_axis is not None else ()
+    in_spec = P(*lead, seq_axis)
+    out_spec = P(*lead, seq_axis)
+    sharded = shard_map(body, mesh=mesh, in_specs=(in_spec,),
+                        out_specs=out_spec, check_vma=False)
+    fn = jax.jit(sharded)
+
+    def run(u):
+        from fnft_tpu.config import complex_dtype_of
+        u = jnp.asarray(u)
+        u = jax.device_put(u.astype(complex_dtype_of(u)),
+                           NamedSharding(mesh, in_spec))
+        return fn(u)
+
+    run.sharded_fn = fn
+    run.in_sharding = NamedSharding(mesh, in_spec)
+    return run
+
+
+# ---------------------------------------------------------------------------
 # Grid-sharded chirp-Z: each shard computes only its M/S spectral points
 # ---------------------------------------------------------------------------
 

@@ -146,3 +146,49 @@ def test_gridsharded_chirpz_batched(seq_mesh):
     got = np.asarray(fn(jnp.asarray(coeffs)))
     want = np.asarray(chirpz(jnp.asarray(coeffs), a, w, m))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-10)
+
+
+@pytest.mark.parametrize("disc", [Discretization.SPLIT8B,
+                                  Discretization.SPLIT2A])
+def test_dshard_kdvv_matches_driver(seq_mesh, disc):
+    """D-sharded KdV contspec == the kdvv driver (real potential, rsym
+    local trees, negated-grid chirp-Z; reference fnft_kdvv.c:129-204)."""
+    import fnft_tpu as ft
+    from fnft_tpu.models.kdvv import KdvvOpts
+    from fnft_tpu.parallel.dshard import make_dshard_kdvv_contspec
+
+    d, m = 1024, 256
+    t_span, xi_span = (-16.0, 15.0), (-2.05, 2.15)
+    t = np.linspace(*t_span, d)
+    u = (3.2 / np.cosh(t) ** 2).astype(np.float64)
+
+    fn = make_dshard_kdvv_contspec(d, t_span, m, xi_span, seq_mesh,
+                                   disc=disc)
+    rho_sh = np.asarray(fn(u)["rho"])
+    ref = ft.kdvv(jnp.asarray(u), t_span, m=m, xi_span=xi_span,
+                  opts=KdvvOpts(discretization=disc))
+    rho_ref = np.asarray(ref.reflection_coefficient)
+    assert rho_sh.shape == (m,)
+    scale = np.max(np.abs(rho_ref))
+    np.testing.assert_allclose(rho_sh, rho_ref, rtol=0, atol=1e-11 * scale)
+
+
+def test_dshard_kdvv_batched(seq_mesh):
+    import fnft_tpu as ft
+    from fnft_tpu.parallel.dshard import make_dshard_kdvv_contspec
+
+    d, m = 512, 128
+    t_span, xi_span = (-12.0, 12.0), (-1.5, 1.5)
+    t = np.linspace(*t_span, d)
+    mesh = make_mesh(axis_names=("data", "seq"))  # (4, 2) over 8
+    us = np.stack([a / np.cosh(t) ** 2 for a in (1.1, 2.3, 0.7, 3.0)])
+    fn = make_dshard_kdvv_contspec(d, t_span, m, xi_span, mesh,
+                                   batch_axis="data")
+    rho = np.asarray(fn(us)["rho"])
+    assert rho.shape == (4, m)
+    for i in range(4):
+        ref = ft.kdvv(jnp.asarray(us[i]), t_span, m=m, xi_span=xi_span)
+        np.testing.assert_allclose(
+            rho[i], np.asarray(ref.reflection_coefficient),
+            rtol=0, atol=1e-11 * float(np.max(np.abs(np.asarray(
+                ref.reflection_coefficient)))))
