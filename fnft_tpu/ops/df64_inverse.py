@@ -155,9 +155,58 @@ def _recurse_df64(t, deg: int, kappa: int, need_inverse: bool):
 
 
 @partial(jax.jit, static_argnames=("deg", "kappa"))
-def _finvscatter_core_df64(t, deg: int, kappa: int):
+def _finvscatter_core_traced_df64(t, deg: int, kappa: int):
     q, _ = _recurse_df64(t, deg, kappa, need_inverse=False)
     return q
+
+
+# staged driver (cf. ops.finvscatter): the df64 recursion also unrolls into
+# an O(deg/32)-node XLA program, so large degrees compile for minutes.
+# Concrete inputs instead run a host recursion over shape-cached kernels:
+# one traced leaf program plus two kernels per level.
+_STAGED_LEAF_DEG = 128
+_STAGED_MIN_DEG = 2 * _STAGED_LEAF_DEG
+
+
+@partial(jax.jit, static_argnames=("deg", "kappa", "need_inverse"))
+def _recurse_jit_df64(t, deg: int, kappa: int, need_inverse: bool):
+    return _recurse_df64(t, deg, kappa, need_inverse)
+
+
+@partial(jax.jit, static_argnames=("d2", "deg"))
+def _t1_stage_df64(t2i, t, d2: int, deg: int):
+    prod = _polymatmul_df64(t2i, t, out_len=deg + 1)
+    return _slice_c(prod, slice(d2, deg + 1))
+
+
+@jax.jit
+def _merge_stage_df64(t1i, t2i):
+    return _polymatmul_df64(t1i, t2i)
+
+
+def _recurse_staged_df64(t, deg: int, kappa: int, need_inverse: bool,
+                         out: list, offset: int):
+    if deg <= _STAGED_LEAF_DEG:
+        q, ti = _recurse_jit_df64(t, deg, kappa, need_inverse)
+        out.append((offset, q))
+        return ti
+    d2 = deg // 2
+    t2i = _recurse_staged_df64(_slice_c(t, slice(0, d2 + 1)), d2, kappa,
+                               True, out, offset + d2)
+    t1 = _t1_stage_df64(t2i, t, d2, deg)
+    t1i = _recurse_staged_df64(t1, d2, kappa, need_inverse, out, offset)
+    return _merge_stage_df64(t1i, t2i) if need_inverse else None
+
+
+def _finvscatter_core_df64(t, deg: int, kappa: int):
+    if deg < _STAGED_MIN_DEG:
+        return _finvscatter_core_traced_df64(t, deg, kappa)
+    out: list = []
+    _recurse_staged_df64(t, deg, kappa, False, out, 0)
+    out.sort(key=lambda kv: kv[0])
+    blocks = [blk for _, blk in out]
+    return jax.tree.map(
+        lambda *parts: jnp.concatenate(parts, axis=-1), *blocks)
 
 
 def finvscatter_df64(transfer_matrix, eps_t: float, kappa: int,

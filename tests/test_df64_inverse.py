@@ -143,3 +143,46 @@ def test_df64_b_of_tau_inverse():
                                      kappa=+1, opts=opts))
     q_df = nsev_inverse_b_of_tau_df64(btau, d, t_span, kappa=+1)
     assert np.max(np.abs(q_df - q_c128)) < 1e-12
+
+
+def test_df64_staged_large_d_roundtrip():
+    """deg = 2048 through the staged host recursion (the traced program at
+    this degree did not finish compiling in 10 minutes); forward-scatter
+    roundtrip at df64 accuracy."""
+    import os
+    import time
+
+    import pytest
+
+    if not os.environ.get("FNFT_SLOW_TESTS"):
+        pytest.skip("large-D df64 staged peel (set FNFT_SLOW_TESTS=1)")
+    from fnft_tpu.models.discretization import Discretization
+
+    from fnft_tpu.ops.df64 import cdf_from_c128, cdf_to_c128
+    from fnft_tpu.ops.df64_inverse import (
+        _STAGED_MIN_DEG,
+        _finvscatter_core_df64,
+        _output_map,
+    )
+    from fnft_tpu.ops.fscatter import fscatter
+
+    d = 2048
+    assert d >= _STAGED_MIN_DEG
+    t_span = (-8.0, 8.0)
+    eps_t = (t_span[1] - t_span[0]) / (d - 1)
+    q = 0.8 / np.cosh(np.linspace(*t_span, d)) * np.exp(
+        1j * np.linspace(0, 3, d))
+    qj = jnp.asarray(q)
+    tm, _ = fscatter(qj, -jnp.conj(qj), eps_t, Discretization.SPLIT2A,
+                     normalize=False)
+    tm = np.asarray(tm).astype(np.complex128)
+    t0 = time.perf_counter()
+    qq = np.asarray(cdf_to_c128(_finvscatter_core_df64(
+        cdf_from_c128(tm), d, 1)))
+    first = time.perf_counter() - t0
+    q_out = _output_map(qq, eps_t, Discretization.SPLIT2A)
+    assert np.max(np.abs(q_out - q)) < 1e-10
+    t0 = time.perf_counter()
+    np.asarray(cdf_to_c128(_finvscatter_core_df64(cdf_from_c128(tm), d, 1)))
+    steady = time.perf_counter() - t0
+    assert steady < first  # shape-cached kernels actually reused
