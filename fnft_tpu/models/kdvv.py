@@ -31,9 +31,16 @@ BOUNDARY_COEFF = 0.5
 
 @dataclasses.dataclass(frozen=True)
 class KdvvOpts:
-    """Defaults mirror fnft_kdvv_default_opts (fnft_kdvv.c:34-36)."""
+    """Defaults mirror fnft_kdvv_default_opts (fnft_kdvv.c:34-36).
+
+    ``rsym``: assert that the potential is real-valued (the physical KdV
+    case) even when it arrives as a complex-dtype device array or tracer,
+    where elementwise inspection is impossible — the real-coefficient
+    half-grid FFT tree is ~1.5x faster.  None = auto-detect from host
+    arrays / real dtypes."""
 
     discretization: Discretization = Discretization.SPLIT8B
+    rsym: Optional[bool] = None
 
 
 @dataclasses.dataclass
@@ -57,7 +64,7 @@ def kdvv_bound_states(u, t_span, *, opts: KdvvOpts | None = None,
 
     opts = opts or KdvvOpts()
     disc = opts.discretization
-    rsym = _is_real_valued(u)
+    rsym = opts.rsym if opts.rsym is not None else _is_real_valued(u)
     u = jnp.asarray(u)
     cdt = complex_dtype_of(u)
     u = u.astype(cdt)
@@ -146,7 +153,7 @@ def kdvv(u, t_span, *, m: int, xi_span, opts: KdvvOpts | None = None) -> KdvvRes
     disc = opts.discretization
     check_arg(is_fast(disc) and degree(disc) > 0,
               "kdvv requires a fast (2SPLIT) discretization")
-    rsym = _is_real_valued(u)
+    rsym = opts.rsym if opts.rsym is not None else _is_real_valued(u)
     u = jnp.asarray(u)
     cdt = complex_dtype_of(u)
     u = u.astype(cdt)

@@ -124,3 +124,35 @@ def test_splitting_order_of_accuracy(disc, order):
     e1, e2 = one_step_error(h), one_step_error(h / 2)
     measured = np.log2(e1 / e2)
     assert measured > order + 0.6, (disc, measured)
+
+
+GENERIC = [d for d in FAST
+           if d not in (Discretization.SPLIT2A, Discretization.SPLIT4B)]
+
+
+@pytest.mark.parametrize("disc", GENERIC, ids=lambda d: d.value)
+def test_value_space_coeffs_match_symbolic(disc):
+    """The value-space generic construction (roots-of-unity chain
+    evaluation + one small IFFT, the accelerator default) and the symbolic
+    coefficient fold produce identical transfer matrices, for complex AKNS
+    potentials and for the real (KdV) half-grid variant."""
+    from fnft_tpu.ops.fscatter import _coeffs_symbolic, _coeffs_via_values
+
+    rng = np.random.default_rng(7)
+    d = 16
+    eps_t = 0.05
+    q = jnp.asarray(rng.normal(size=d) + 1j * rng.normal(size=d))
+    r = jnp.asarray(rng.normal(size=d) + 1j * rng.normal(size=d))
+    sym = np.asarray(_coeffs_symbolic(q, r, eps_t, disc))
+    val = np.asarray(_coeffs_via_values(q, r, eps_t, disc))
+    scale = np.max(np.abs(sym))
+    assert np.max(np.abs(sym - val)) < 5e-13 * scale
+
+    qr = jnp.asarray((rng.normal(size=d) + 0j))
+    rr = -jnp.ones_like(qr)
+    sym_r = np.asarray(_coeffs_symbolic(qr, rr, eps_t, disc))
+    val_r = np.asarray(_coeffs_via_values(qr, rr, eps_t, disc,
+                                          real_coeffs=True))
+    assert np.max(np.abs(val_r.imag)) == 0.0
+    scale = np.max(np.abs(sym_r))
+    assert np.max(np.abs(sym_r - val_r)) < 5e-13 * scale

@@ -55,7 +55,11 @@ def bench_kdvv(d, reps, cdt):
     import fnft_tpu as ft
 
     t = np.linspace(-25.0, 25.0, d)
-    u = (3.2 / np.cosh(t)).astype(cdt)
+    # the physical KdV potential is real; pass it with a real dtype so the
+    # driver engages the real-coefficient half-grid tree (the C harness
+    # stores it complex only because the reference API demands COMPLEX[])
+    rdt = np.float64 if cdt == np.complex128 else np.float32
+    u = (3.2 / np.cosh(t)).astype(rdt)
     uj = jnp.asarray(u)
 
     def run():
