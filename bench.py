@@ -29,14 +29,27 @@ C_BASELINE_SECONDS = {
 }
 
 
-def _timed(fn, q_dev, reps):
-    out = fn(q_dev)  # compile + first run
-    out.block_until_ready()
+def _sync(out):
+    """Force completion via a d2h scalar fetch.
+
+    block_until_ready is NOT sufficient on the axon tunnel: in the
+    observed degraded state dispatch is fire-and-forget and only a
+    device-to-host transfer actually waits for the result.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(leaf.ravel()[0] if leaf.ndim else leaf).real)
+
+
+def _timed(fn, *args, reps=3):
+    out = fn(*args)  # compile + first run
+    _sync(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(q_dev)
-        out.block_until_ready()
+        out = fn(*args)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return out, best
 
@@ -44,47 +57,57 @@ def _timed(fn, q_dev, reps):
 def _run_once(args):
     import jax
     import jax.numpy as jnp
-    from __graft_entry__ import _rho_pipeline
 
+    on_tpu = jax.default_backend() == "tpu"
     d = m = 1 << args.log2d
     t_span, xi_span = (-25.0, 25.0), (-2.0, 2.0)
     t = np.linspace(*t_span, d)
-    q = (1j * 3.2 / np.cosh(t)).astype(np.complex64)[None, :]  # [1, D]
+    q = (1j * 3.2 / np.cosh(t)).astype(np.complex64)
 
-    rho = jax.jit(_rho_pipeline(d, m, t_span, xi_span))
-    out, best = _timed(rho, jax.device_put(jnp.asarray(q)), args.reps)
+    def _build(dd, mm, batch):
+        """Backend-appropriate jitted rho: [batch?, D] -> [batch?, M]."""
+        if on_tpu:
+            # the axon TPU backend has no complex types: run the
+            # real-pair lowering with tables as device parameters
+            from fnft_tpu.ops.tpu_pipeline import rho_pipeline_tabled
+
+            fn = rho_pipeline_tabled(dd, mm, t_span, xi_span, batch=batch)
+            return lambda qc: fn(jnp.asarray(qc.real.astype(np.float32)),
+                                 jnp.asarray(qc.imag.astype(np.float32)))
+        from __graft_entry__ import _rho_pipeline
+
+        fn = jax.jit(_rho_pipeline(dd, mm, t_span, xi_span))
+        return lambda qc: fn(jax.device_put(jnp.asarray(qc)))
+
+    rho = _build(d, m, None)
+    out, best = _timed(rho, q, reps=args.reps)
 
     # sanity: |rho(0)| of the Satsuma-Yajima A=3.2 sech = |sin(pi A)| scale
     def _sane(o):
-        return abs(float(np.abs(np.asarray(o)[0, m // 2])) - 0.7265425) < 5e-3
+        if on_tpu:
+            mid = complex(float(np.asarray(o[0][..., m // 2])),
+                          float(np.asarray(o[1][..., m // 2])))
+        else:
+            mid = complex(np.asarray(o)[..., m // 2].ravel()[0])
+        return abs(abs(mid) - 0.7265425) < 5e-3
 
     ok = _sane(out)
     fused_fallback = False
-    if not ok and jax.default_backend() == "tpu" and not args.fused_levels:
-        # the auto-enabled Pallas fused levels are interpret-validated but
-        # not yet hardware-validated: if the sanity check fails, retime on
-        # the pure-XLA tree and record the fallback
-        import fnft_tpu.ops.poly as _poly
-
-        _poly.set_fused_early_levels(0)
-        rho = jax.jit(_rho_pipeline(d, m, t_span, xi_span))
-        out, best = _timed(rho, jax.device_put(jnp.asarray(q)), args.reps)
-        ok = _sane(out)
-        fused_fallback = True
 
     # secondary: batched throughput at D = 2^12 (NFDM symbol size)
     db, mb, batch = 1 << 12, 1 << 12, args.batch
     tb = np.linspace(*t_span, db)
-    qb = np.stack([(1j * (1.0 + k / batch) / np.cosh(tb)) for k in range(batch)])
-    rho_b = jax.jit(_rho_pipeline(db, mb, t_span, xi_span))
-    _, tbatch = _timed(rho_b, jax.device_put(jnp.asarray(qb.astype(np.complex64))),
-                       args.reps)
+    qb = np.stack([(1j * (1.0 + k / batch) / np.cosh(tb))
+                   for k in range(batch)]).astype(np.complex64)
+    rho_b = _build(db, mb, batch)
+    _, tbatch = _timed(rho_b, qb, reps=args.reps)
     spectra_per_sec = batch / tbatch
     base_small = C_BASELINE_SECONDS[db]
 
     extra = {}
-    if not args.no_df64:
+    if not args.no_df64 and not on_tpu:
         # reference-accuracy float32-pair pipeline at the NFDM symbol size
+        # (complex-typed internally, so CPU only on this TPU backend)
         try:
             from fnft_tpu.ops.df64_pipeline import nsev_contspec_df64
 
@@ -101,7 +124,26 @@ def _run_once(args):
         except Exception as e:
             extra["df64_D4096_error"] = str(e)[:120]
 
-    if not args.no_harness:
+    if not args.no_harness and on_tpu:
+        # accuracy harness on the complex-free backend: the rc pipeline's
+        # contspec against the analytic sech spectrum at D=4096
+        try:
+            from fnft_tpu.ops.tpu_pipeline import rho_pipeline_tabled
+            from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+
+            data = nsev_testcase(NsevTestcase.SECH_FOCUSING, 4096)
+            fn = rho_pipeline_tabled(4096, data.m, data.t_span, data.xi_span)
+            qh = data.q.astype(np.complex64)
+            rr, ri = fn(jnp.asarray(qh.real), jnp.asarray(qh.imag))
+            got = np.asarray(rr) + 1j * np.asarray(ri)
+            ref = np.asarray(data.contspec)
+            cerr = float(np.max(np.abs(got - ref)) / np.max(np.abs(ref)))
+            extra["harness_errors_D4096"] = {"contspec": float(f"{cerr:.3e}")}
+            extra["harness_bounds_profile"] = "c64_tpu_budget"
+            extra["harness_within_bounds"] = bool(cerr <= 5e-4)
+        except Exception as e:
+            extra["harness_error"] = str(e)[:120]
+    elif not args.no_harness:
         # the reference's six-error harness at D=4096 (2SPLIT4B bounds from
         # test/fnft_nsev/fnft_nsev_test_sech_focusing_2split4B.c:31-43)
         try:
@@ -163,10 +205,13 @@ def _tpu_probe_ok(timeout: float = 180.0) -> bool:
     # in the observed degraded state it returns instantly without syncing
     # (fire-and-forget dispatch) while every d2h transfer hangs or raises
     # UNIMPLEMENTED. A usable TPU must round-trip a value to the host.
+    # The probe is REAL f32 only: this backend implements no complex types
+    # at all, so a complex/FFT probe would always fail even when the TPU
+    # is healthy (this exact mistake hid the hardware for three rounds).
     code = ("import numpy as np, jax, jax.numpy as jnp;"
-            "x = jax.jit(jnp.fft.fft)(jnp.arange(256, dtype=jnp.complex64));"
-            "a = np.asarray(jax.block_until_ready(x));"
-            "assert abs(a[0] - 32640) < 1, a[0];"
+            "x = jax.jit(lambda a: a @ a)(jnp.ones((128, 128), jnp.float32));"
+            "v = float(np.asarray(x)[0, 0]);"
+            "assert v == 128.0, v;"
             "assert jax.devices()[0].platform == 'tpu'")
     try:
         proc = subprocess.run([sys.executable, "-c", code],
@@ -205,6 +250,18 @@ def main() -> int:
     import os
 
     import jax
+
+    # persistent compile cache: the 20-level D=2^20 program costs minutes
+    # to compile on the remote helper; cached, it loads in seconds
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir  # subprocesses
+    except Exception:
+        pass
 
     if not args.cpu and os.environ.get("JAX_PLATFORMS", "") == "cpu":
         # the environment already pins CPU: measure it as a CPU run rather

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fnft_tpu.ops import rc
+from fnft_tpu.ops import rc, tables
 
 _DIRECT_MAX = 2048  # largest single-matmul DFT (table = 2 * 16 MB f32)
 
@@ -67,8 +67,7 @@ def _split(n: int) -> tuple[int, int]:
 
 def _matmul_dft(x: rc.Pair, n: int, sign: int) -> rc.Pair:
     """DFT over the last axis via one complex matmul (4 real einsums)."""
-    wr_np, wi_np = _dft_table(n, sign)
-    wr, wi = jnp.asarray(wr_np), jnp.asarray(wi_np)
+    wr, wi = tables.get(("dft", n, sign), lambda: _dft_table(n, sign))
     xr, xi = x
     rr = jnp.einsum("...j,jk->...k", xr, wr, precision=_PREC)
     ii = jnp.einsum("...j,jk->...k", xi, wi, precision=_PREC)
@@ -79,8 +78,7 @@ def _matmul_dft(x: rc.Pair, n: int, sign: int) -> rc.Pair:
 
 def _matmul_dft_axis2(x: rc.Pair, n1: int, sign: int) -> rc.Pair:
     """DFT over axis -2 (size n1) via one complex matmul."""
-    wr_np, wi_np = _dft_table(n1, sign)
-    wr, wi = jnp.asarray(wr_np), jnp.asarray(wi_np)
+    wr, wi = tables.get(("dft", n1, sign), lambda: _dft_table(n1, sign))
     xr, xi = x
     rr = jnp.einsum("jk,...jn->...kn", wr, xr, precision=_PREC)
     ii = jnp.einsum("jk,...jn->...kn", wi, xi, precision=_PREC)
@@ -97,8 +95,8 @@ def _fft_pair_raw(x: rc.Pair, sign: int) -> rc.Pair:
     lead = x[0].shape[:-1]
     a = rc.reshape(x, lead + (n1, n2))
     b = _matmul_dft_axis2(a, n1, sign)           # DFT over n1 -> index k1
-    tr_np, ti_np = _twiddle_table(n1, n2, sign)
-    tw = (jnp.asarray(tr_np), jnp.asarray(ti_np))
+    tw = tables.get(("twiddle", n1, n2, sign),
+                    lambda: _twiddle_table(n1, n2, sign))
     c = rc.mul(b, tw)                            # twiddle w^{k1 n2}
     d = _fft_pair_raw(c, sign)                   # DFT over n2 -> index k2
     # X[k2 * n1 + k1] = D[k1, k2]

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fnft_tpu.ops import rc
+from fnft_tpu.ops import rc, tables
 from fnft_tpu.ops.mxu_fft import fft_pair, ifft_pair
 from fnft_tpu.utils.misc import next_power_of_2
 
@@ -194,8 +194,7 @@ def _value_level_sym_rc(Vc: rc.Pair, tc: rc.Pair, cc: rc.Pair, kappa: int,
     ta, tb = _sel(tc, slice(0, None, 2), 1), _sel(tc, slice(1, None, 2), 1)
     ca, cb = _sel(cc, slice(0, None, 2), 1), _sel(cc, slice(1, None, 2), 1)
     n = Va[0].shape[-1]
-    twr, twi = _half_twiddle_np(n)
-    tw = (jnp.asarray(twr), jnp.asarray(twi))
+    tw = tables.get(("half_twiddle", n), lambda: _half_twiddle_np(n))
 
     def _row(p, i):
         return p[0][..., i, :], p[1][..., i, :]
@@ -310,21 +309,38 @@ def chirpz_rc(coeffs: rc.Pair, a: complex, w: complex, m: int) -> rc.Pair:
     (mxu_fft factorizes powers of two only)."""
     n = coeffs[0].shape[-1]
     length = next_power_of_2(n + m - 1)
-    ks = np.arange(max(n, m), dtype=np.float64)
-    w_half_sq = _spiral_np(complex(w), 0.5 * ks * ks)
-    a_pow = _spiral_np(complex(a), ks[:n])
-    x_w = rc.const(a_pow * w_half_sq[:n])
+    a, w = complex(a), complex(w)
+
+    def _pair(z):
+        return (z.real.astype(np.float32), z.imag.astype(np.float32))
+
+    def _xw():
+        ks = np.arange(n, dtype=np.float64)
+        return _pair(_spiral_np(a, ks) * _spiral_np(w, 0.5 * ks * ks))
+
+    def _vf():
+        ks = np.arange(max(n, m), dtype=np.float64)
+        w_half_sq = _spiral_np(w, 0.5 * ks * ks)
+        v = np.zeros(length, dtype=np.complex128)
+        v[:m] = 1.0 / w_half_sq[:m]
+        neg = _spiral_np(w, 0.5 * ks[1:n] * ks[1:n])
+        v[length - n + 1:] = (1.0 / neg)[::-1]
+        return _pair(np.fft.fft(v))
+
+    def _wout():
+        ks = np.arange(m, dtype=np.float64)
+        return _pair(_spiral_np(w, 0.5 * ks * ks))
+
+    key = (n, m, a, w)
+    x_w = tables.get(("chirpz_xw",) + key, _xw)
+    v_f = tables.get(("chirpz_vf",) + key, _vf)
+    w_out = tables.get(("chirpz_wout",) + key, _wout)
     x = rc.mul(coeffs, x_w)
     xp = rc.apply(lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1)
                                     + [(0, length - n)]), x)
-    v = np.zeros(length, dtype=np.complex128)
-    v[:m] = 1.0 / w_half_sq[:m]
-    neg = _spiral_np(complex(w), 0.5 * ks[1:n] * ks[1:n])
-    v[length - n + 1:] = (1.0 / neg)[::-1]
-    v_f = rc.const(np.fft.fft(v))
     conv = ifft_pair(rc.mul(fft_pair(xp), v_f))
     head = (conv[0][..., :m], conv[1][..., :m])
-    return rc.mul(head, rc.const(w_half_sq[:m]))
+    return rc.mul(head, w_out)
 
 
 # ---------------------------------------------------------------------------
@@ -364,3 +380,17 @@ def rho_pipeline_rc(d: int, m: int, t_span, xi_span, *, kappa: int = 1):
         return out
 
     return rho
+
+
+def rho_pipeline_tabled(d: int, m: int, t_span, xi_span, *, kappa: int = 1,
+                        batch: int | None = None):
+    """Jitted pipeline with all tables passed as device parameters.
+
+    Use this (not ``jax.jit(rho_pipeline_rc(...))``) for large D: inlining
+    the DFT/twiddle/chirp-Z tables as literals produces a >200 MB StableHLO
+    payload at D=2^20 that the axon remote compile helper cannot process.
+    """
+    fn = rho_pipeline_rc(d, m, t_span, xi_span, kappa=kappa)
+    shape = (d,) if batch is None else (batch, d)
+    ex = (jax.ShapeDtypeStruct(shape, jnp.float32),) * 2
+    return tables.jit_tabled(fn, ex)

@@ -80,6 +80,21 @@ def test_rho_batched_matches_unbatched(pipelines):
         assert np.max(np.abs(u - b)) / (np.max(np.abs(b)) + 1e-30) < 1e-4
 
 
+def test_tabled_matches_inline(pipelines):
+    """jit_tabled (tables as device params) == plain jit (inline consts)."""
+    from fnft_tpu.ops.tpu_pipeline import rho_pipeline_tabled
+
+    _, rho_r = pipelines
+    q = _sech(3.2)
+    tabled = rho_pipeline_tabled(D, M, T_SPAN, XI_SPAN)
+    assert tabled.n_tables > 0 and tabled.table_bytes > 0
+    tr, ti = tabled(jnp.asarray(q.real), jnp.asarray(q.imag))
+    ir, ii = rho_r(jnp.asarray(q.real), jnp.asarray(q.imag))
+    gt = np.asarray(tr) + 1j * np.asarray(ti)
+    gi = np.asarray(ir) + 1j * np.asarray(ii)
+    assert np.max(np.abs(gt - gi)) / np.max(np.abs(gi)) < 1e-6
+
+
 def test_rho_defocusing_runs():
     # kappa=-1 path (cosh branch): finite and consistent across ranks
     rho_r = jax.jit(rho_pipeline_rc(D, M, T_SPAN, XI_SPAN, kappa=-1))
