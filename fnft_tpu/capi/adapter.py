@@ -56,10 +56,32 @@ def _enum(cls, val):
         return cls[str(val).upper()]
 
 
-def _opts_from_json(cls, enum_fields: dict, opts_json):
+def _json_dict(opts_json):
     kw = json.loads(opts_json) if opts_json else {}
     if not isinstance(kw, dict):
         raise ValueError("opts_json must encode a JSON object")
+    return kw
+
+
+def _pop_quiet(kw):
+    """Honor the MEX gateways' 'quiet' flag: silence warnings process-wide
+    (mirrors the reference's fnft_errwarn_setprintf(NULL) redirect)."""
+    if kw.pop("quiet", False):
+        from fnft_tpu.errors import set_warn_handler
+
+        set_warn_handler(lambda *_: None)
+
+
+def _pop_cvec(kw, key):
+    """Optional complex vector encoded as [[re, im], ...] in the JSON."""
+    val = kw.pop(key, None)
+    if val is None:
+        return None
+    return np.asarray([complex(re, im) for re, im in val], np.complex128)
+
+
+def _opts_from_json(cls, enum_fields: dict, opts_json):
+    kw = opts_json if isinstance(opts_json, dict) else _json_dict(opts_json)
     for key, ecls in enum_fields.items():
         if key in kw:
             kw[key] = _enum(ecls, kw[key])
@@ -89,18 +111,31 @@ def nsev(q_bytes, d, t0, t1, m, xi0, xi1, kcap, kappa, opts_json):
         from fnft_tpu.models.nsev import (BoundStateFilter,
                                           BoundStateLocalization,
                                           ContspecType, DiscspecType,
-                                          NsevOpts)
+                                          NsevOpts, nsev_with_initial_states)
 
+        kw = _json_dict(opts_json)
+        _pop_quiet(kw)
+        # MEX-surface extras carried inside the JSON (matlab/ gateways):
+        # 'bsloc_newton' guesses and the skip_bs flag have no slot in the
+        # reference-shaped C signature, so they ride along here.
+        initial_states = _pop_cvec(kw, "initial_states")
+        want_bs = bool(kw.pop("want_bound_states", True))
         opts = _opts_from_json(NsevOpts, dict(
             bound_state_filtering=BoundStateFilter,
             bound_state_localization=BoundStateLocalization,
             discspec_type=DiscspecType,
             contspec_type=ContspecType,
-            discretization=ft.Discretization), opts_json)
+            discretization=ft.Discretization), kw)
         q = _c128(q_bytes, d)
-        res = ft.nsev(q, (t0, t1), m=m,
-                      xi_span=(xi0, xi1) if m > 0 else None,
-                      kappa=kappa, opts=opts)
+        xi_span = (xi0, xi1) if m > 0 else None
+        if initial_states is not None:
+            res = nsev_with_initial_states(
+                q, (t0, t1), initial_states, m=m, xi_span=xi_span,
+                kappa=kappa, opts=opts)
+        else:
+            res = ft.nsev(q, (t0, t1), m=m, xi_span=xi_span,
+                          kappa=kappa, opts=opts,
+                          want_bound_states=want_bs and kcap > 0)
 
         parts = []
         if m > 0:
@@ -141,8 +176,10 @@ def kdvv(u_bytes, d, t0, t1, m, xi0, xi1, kcap, opts_json):
         import fnft_tpu as ft
         from fnft_tpu.models.kdvv import KdvvOpts, kdvv_bound_states
 
+        kw = _json_dict(opts_json)
+        _pop_quiet(kw)
         opts = _opts_from_json(
-            KdvvOpts, dict(discretization=ft.Discretization), opts_json)
+            KdvvOpts, dict(discretization=ft.Discretization), kw)
         u = _c128(u_bytes, d)
         res = ft.kdvv(u, (t0, t1), m=m, xi_span=(xi0, xi1), opts=opts)
         cs = _bytes(res.reflection_coefficient)
@@ -165,9 +202,11 @@ def nsep(q_bytes, d, t0, t1, phase_shift, kcap, mcap, kappa, opts_json):
         import fnft_tpu as ft
         from fnft_tpu.models.nsep import Localization, NsepOpts, PointFilter
 
+        kw = _json_dict(opts_json)
+        _pop_quiet(kw)
         opts = _opts_from_json(NsepOpts, dict(
             localization=Localization, filtering=PointFilter,
-            discretization=ft.Discretization), opts_json)
+            discretization=ft.Discretization), kw)
         q = _c128(q_bytes, d)
         res = ft.nsep(q, (t0, t1), kappa=kappa, phase_shift=phase_shift,
                       opts=opts)
@@ -192,21 +231,49 @@ def nsev_inverse(cs_bytes, m, xi0, xi1, bs_bytes, nc_bytes, k, d, t0, t1,
                                                   InverseDiscspecType,
                                                   NsevInverseOpts)
 
+        kw = _json_dict(opts_json)
+        _pop_quiet(kw)
         opts = _opts_from_json(NsevInverseOpts, dict(
             contspec_type=InverseContspecType,
             contspec_method=InverseCstMethod,
             discspec_type=InverseDiscspecType,
-            discretization=ft.Discretization), opts_json)
+            discretization=ft.Discretization), kw)
         contspec = _c128(cs_bytes, m) if m > 0 and cs_bytes else None
         bound_states = _c128(bs_bytes, k) if k > 0 else None
         normconsts = _c128(nc_bytes, k) if k > 0 else None
+        seed = None
+        if opts.contspec_method == InverseCstMethod.USE_SEED_POTENTIAL_INSTEAD:
+            # reference semantics: in seed mode the contspec slot carries
+            # time-domain seed samples (fnft_nsev_inverse.c:188-200)
+            seed, contspec = contspec, None
         q = ft.nsev_inverse(contspec, (xi0, xi1), d, (t0, t1), kappa=kappa,
                             bound_states=bound_states,
-                            normconsts_or_residues=normconsts, opts=opts)
+                            normconsts_or_residues=normconsts,
+                            seed_potential=seed, opts=opts)
         return 0, _bytes(q), ""
     except Exception as e:  # noqa: BLE001
         rc, msg = _fail(e)
         return rc, b"", msg
+
+
+def nsev_inverse_xi(d, t0, t1, m, opts_json):
+    """fnft_nsev_inverse_XI (src/fnft_nsev_inverse.c:40-65): the canonical
+    spectral grid endpoints for an M-point inverse transform."""
+    try:
+        _configure()
+        import fnft_tpu as ft
+
+        kw = _json_dict(opts_json)
+        _pop_quiet(kw)
+        disc = _enum(ft.Discretization,
+                     kw.pop("discretization", ft.Discretization.SPLIT2A))
+        if kw:
+            raise ValueError(f"unknown options: {sorted(kw)}")
+        xi0, xi1 = ft.nsev_inverse_xi_grid(d, (t0, t1), m, disc)
+        return 0, float(xi0), float(xi1), ""
+    except Exception as e:  # noqa: BLE001
+        rc, msg = _fail(e)
+        return rc, 0.0, 0.0, msg
 
 
 def version():

@@ -86,6 +86,13 @@ int fnft_tpu_nsev_inverse(size_t m, const fnft_tpu_complex *contspec,
                           size_t d, fnft_tpu_complex *q, const double t[2],
                           int32_t kappa, const char *opts_json);
 
+/* Canonical spectral grid for the inverse NFT (mirrors
+ * fnft_nsev_inverse_XI): writes XI[0], XI[1] for an M-point transform of
+ * D samples on T. opts_json accepts {"discretization": ...} (default
+ * 2split2a, like the reference default opts). */
+int fnft_tpu_nsev_inverse_xi(size_t d, const double t[2], size_t m,
+                             double xi[2], const char *opts_json);
+
 /* Message for the most recent non-zero return code. */
 const char *fnft_tpu_last_error(void);
 

@@ -304,6 +304,41 @@ int fnft_tpu_nsep(size_t d, const fnft_tpu_complex *q, const double t[2],
     return rc;
 }
 
+int fnft_tpu_nsev_inverse_xi(size_t d, const double t[2], size_t m,
+                             double xi[2], const char *opts_json) {
+    if (!t || !xi) {
+        set_error("fnft_tpu_nsev_inverse_xi: NULL required argument");
+        return 1;
+    }
+    API_PROLOGUE();
+    int rc = 2;
+    PyObject *args = Py_BuildValue("(nddnz)", (Py_ssize_t)d, t[0], t[1],
+                                   (Py_ssize_t)m, opts_json);
+    PyObject *res = args ? call_adapter("nsev_inverse_xi", args) : NULL;
+    Py_XDECREF(args);
+    if (res && PyTuple_Check(res) && PyTuple_Size(res) == 4) {
+        long long prc = 2;
+        if (!tuple_long(res, 0, &prc)) {
+            rc = (int)prc;
+            if (rc == 0) {
+                PyObject *a = PyTuple_GetItem(res, 1);
+                PyObject *b = PyTuple_GetItem(res, 2);
+                xi[0] = a ? PyFloat_AsDouble(a) : 0.0;
+                xi[1] = b ? PyFloat_AsDouble(b) : 0.0;
+                if (PyErr_Occurred()) {
+                    PyErr_Clear();
+                    rc = 2;
+                }
+            } else {
+                tuple_error_out(res, 3);
+            }
+        }
+    }
+    Py_XDECREF(res);
+    API_EPILOGUE();
+    return rc;
+}
+
 int fnft_tpu_nsev_inverse(size_t m, const fnft_tpu_complex *contspec,
                           const double xi[2], size_t k,
                           const fnft_tpu_complex *bound_states,
