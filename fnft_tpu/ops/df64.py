@@ -217,11 +217,44 @@ def _cdf_zeros_like(z, shape=None):
 # radix-2 Stockham FFT in df64
 # ---------------------------------------------------------------------------
 
+_CDF_REG_HOST_CACHE: dict = {}
+
+
+def _cdf_reg(key: tuple, builder_c128):
+    """Host complex128 table -> cdf constant, through the table registry.
+
+    Under :func:`fnft_tpu.ops.tables.jit_tabled` the four hi/lo planes are
+    passed as jit parameters instead of being inlined as literals — the
+    df64 pipeline's twiddle/chirp-Z tables total hundreds of MB of MLIR at
+    D=2^20 otherwise (same failure mode ops/tpu_pipeline.py hit).  Host
+    planes are memoized per key (builders are deterministic per key)."""
+    from fnft_tpu.ops import tables
+
+    def build():
+        cached = _CDF_REG_HOST_CACHE.get(key)
+        if cached is not None:
+            return cached
+        z = np.asarray(builder_c128(), dtype=np.complex128)
+        re, im = np.real(z), np.imag(z)
+        rh = re.astype(np.float32)
+        rl = (re - rh.astype(np.float64)).astype(np.float32)
+        ih = im.astype(np.float32)
+        il = (im - ih.astype(np.float64)).astype(np.float32)
+        planes = (rh, rl, ih, il)
+        if sum(p.nbytes for p in planes) <= (1 << 24):  # cap at 16 MB/key
+            _CDF_REG_HOST_CACHE[key] = planes
+        return planes
+
+    rh, rl, ih, il = tables.get(key, build)
+    return ((rh, rl), (ih, il))
+
+
 def _twiddles(length: int, sign: int):
     """Host-precomputed df64 twiddle planes for each stage."""
     half = length // 2
-    k = np.arange(half)
-    return _split_host_complex(np.exp(sign * 2j * np.pi * k / length))
+    return _cdf_reg(("df64_tw", length, sign),
+                    lambda: np.exp(sign * 2j * np.pi
+                                   * np.arange(half) / length))
 
 
 def _bit_reverse_indices(n: int) -> np.ndarray:
@@ -274,16 +307,20 @@ def _fft_unrolled_last(x, n: int, sign: int):
 
 def _four_step_twiddle(n1: int, n2: int, sign: int):
     """df64 twiddle plane T[j2, k1] = w_n^{j2 k1}, host-precomputed."""
-    j2 = np.arange(n2)[:, None]
-    k1 = np.arange(n1)[None, :]
-    return _split_host_complex(np.exp(sign * 2j * np.pi * (j2 * k1)
-                                      / (n1 * n2)))
+    def build():
+        j2 = np.arange(n2)[:, None]
+        k1 = np.arange(n1)[None, :]
+        return np.exp(sign * 2j * np.pi * (j2 * k1) / (n1 * n2))
+
+    return _cdf_reg(("df64_tw4", n1, n2, sign), build)
 
 
 def _radix3_twiddles(n: int, sign: int):
     """Host df64 twiddle planes w^k and w^{2k}, k in [0, n)."""
     k = np.arange(n)
-    return [_split_host_complex(np.exp(sign * 2j * np.pi * (mult * k % n) / n))
+    return [_cdf_reg(("df64_tw3", n, sign, mult),
+                     lambda mult=mult: np.exp(
+                         sign * 2j * np.pi * (mult * k % n) / n))
             for mult in (1, 2)]
 
 
@@ -340,8 +377,7 @@ def _fft_four_step(x, n: int, sign: int):
         lambda t: t.swapaxes(-1, -2).reshape(t.shape[:-2] + (n,)), y)
 
 
-@partial(jax.jit, static_argnames=("length", "inverse"))
-def fft_df64(z, length: int, *, inverse: bool = False):
+def _fft_df64(z, length: int, *, inverse: bool = False):
     """FFT along the last axis of a df64 complex array (power-of-2 length).
 
     Radix-2 DIT: one bit-reversal gather plus butterfly stages. Small
@@ -437,6 +473,17 @@ def fft_df64(z, length: int, *, inverse: bool = False):
     return out
 
 
+@partial(jax.jit, static_argnames=("length", "inverse"))
+def fft_df64(z, length: int, *, inverse: bool = False):
+    """Jitted entry point of :func:`_fft_df64` (the public API).
+
+    Internal df64 tree/chirp-Z code calls ``_fft_df64`` directly so the
+    whole stage is one program — nesting this jit inside
+    ``tables.jit_tabled`` would capture table tracers across the jit
+    boundary."""
+    return _fft_df64(z, length, inverse=inverse)
+
+
 def next_fft_length_df64(x: int) -> int:
     """Smallest supported df64 FFT length >= x (2^a or 3*2^a)."""
     if x <= 1:
@@ -476,15 +523,15 @@ def _cdf_table(z128):
 def _value_enter_df64(p, n: int):
     """cdf coeffs [..., n+1] -> (V on the n-grid, top coeff t)."""
     t = _cdf_index(p, (Ellipsis, n))
-    V = fft_df64(_cdf_index(p, (Ellipsis, slice(0, n))), n)
+    V = _fft_df64(_cdf_index(p, (Ellipsis, slice(0, n))), n)
     V = cdf_add(V, jax.tree.map(lambda x: x[..., None], t))
     return V, t
 
 
 def _value_odd_df64(V, t, tw, n: int):
     """Evaluations at the odd points of the 2n grid (see poly._value_odd_bins)."""
-    q = fft_df64(V, n, inverse=True)
-    o = fft_df64(cdf_mul(q, tw), n)
+    q = _fft_df64(V, n, inverse=True)
+    o = _fft_df64(cdf_mul(q, tw), n)
     # subtract 2t (exact per-plane scale by 2)
     t2 = jax.tree.map(lambda x: 2.0 * x[..., None], t)
     return cdf_sub(o, t2)
@@ -517,8 +564,8 @@ def _value_level_df64(V, t, n: int):
     Va, Vb = _cdf_index(V, sl_a), _cdf_index(V, sl_b)
     ta = _cdf_index(t, (Ellipsis, slice(0, None, 2), slice(None), slice(None)))
     tb = _cdf_index(t, (Ellipsis, slice(1, None, 2), slice(None), slice(None)))
-    j = np.arange(n)
-    tw = _cdf_table(np.exp(-1j * np.pi * j / n))
+    tw = _cdf_reg(("df64_half_tw", n),
+                  lambda: np.exp(-1j * np.pi * np.arange(n) / n))
     even = _cdf_mat2x2_mul(Vb, Va)
     odd = _cdf_mat2x2_mul(_value_odd_df64(Vb, tb, tw, n),
                           _value_odd_df64(Va, ta, tw, n))
@@ -541,7 +588,7 @@ def _value_exit_df64(V, t, n: int, want=None):
                          for i, j in want], axis=-2)
         ts = _cdf_stack([_cdf_index(t, (Ellipsis, i, j))
                          for i, j in want], axis=-1)
-        qs = fft_df64(Vs, n, inverse=True)
+        qs = _fft_df64(Vs, n, inverse=True)
         q0 = cdf_sub(_cdf_index(qs, (Ellipsis, 0)), ts)
         qs = jax.tree.map(lambda qp, cp: qp.at[..., 0].set(cp), qs, q0)
         qs = jax.tree.map(lambda qp, tp: jnp.concatenate(
@@ -553,7 +600,7 @@ def _value_exit_df64(V, t, n: int, want=None):
                 lambda op, sp, i=i, j=j: op.at[..., i, j, :].set(sp),
                 out, sel)
         return out
-    q = fft_df64(V, n, inverse=True)
+    q = _fft_df64(V, n, inverse=True)
     q0 = cdf_sub(_cdf_index(q, (Ellipsis, 0)), t)
     q = jax.tree.map(lambda qp, cp: qp.at[..., 0].set(cp), q, q0)
     return jax.tree.map(lambda qp, tp: jnp.concatenate(
@@ -594,7 +641,7 @@ def _value_enter_sym_df64(p, n: int):
     col = _cdf_index(p, (Ellipsis, slice(None), 0, slice(None)))
     tc = _cdf_index(col, (Ellipsis, n))
     cc = _cdf_index(col, (Ellipsis, 0))
-    Vc = fft_df64(_cdf_index(col, (Ellipsis, slice(0, n))), n)
+    Vc = _fft_df64(_cdf_index(col, (Ellipsis, slice(0, n))), n)
     Vc = cdf_add(Vc, jax.tree.map(lambda x: x[..., None], tc))
     return Vc, tc, cc
 
@@ -622,8 +669,8 @@ def _value_level_sym_df64(Vc, tc, cc, kappa: int, n: int):
                      _kscale(cdf_mul(_cdf_conj(b21), a21), -kappa))
     even21 = cdf_add(cdf_mul(b21, a11), cdf_mul(_cdf_conj(b11), a21))
     # odd bins (z^n == -1): B12 = +kappa conj(B21), B22 = -conj(B11)
-    j = np.arange(n)
-    tw = _cdf_table(np.exp(-1j * np.pi * j / n))
+    tw = _cdf_reg(("df64_half_tw", n),
+                  lambda: np.exp(-1j * np.pi * np.arange(n) / n))
     Bo = _value_odd_df64(Vb, tb, tw, n)
     Ao = _value_odd_df64(Va, ta, tw, n)
     a11o, a21o = ent(Ao, 0), ent(Ao, 1)
@@ -677,7 +724,7 @@ def _value_exit_sym_df64(Vc, tc, cc, kappa: int, n: int, want=None):
     }
     Vs = _cdf_stack([entry[ij][0] for ij in want], axis=-2)
     ts = _cdf_stack([entry[ij][1] for ij in want], axis=-1)
-    qs = fft_df64(Vs, n, inverse=True)
+    qs = _fft_df64(Vs, n, inverse=True)
     q0 = cdf_sub(_cdf_index(qs, (Ellipsis, 0)), ts)
     qs = jax.tree.map(lambda qp, cp: qp.at[..., 0].set(cp), qs, q0)
     qs = jax.tree.map(lambda qp, tp: jnp.concatenate(
@@ -694,8 +741,8 @@ def _value_exit_sym_df64(Vc, tc, cc, kappa: int, n: int, want=None):
 
 def _matpoly_product_df64(b, a, length: int):
     """(b @ a)(z) on df64 coefficient arrays [..., 2, 2, c]."""
-    fa = fft_df64(_pad_last(a, length), length)
-    fb = fft_df64(_pad_last(b, length), length)
+    fa = _fft_df64(_pad_last(a, length), length)
+    fb = _fft_df64(_pad_last(b, length), length)
     # 2x2 polynomial matrix product in the FFT domain
     def entry(i, j):
         t0 = cdf_mul(_cdf_index(fb, (Ellipsis, i, 0, slice(None))),
@@ -709,7 +756,7 @@ def _matpoly_product_df64(b, a, length: int):
         cols = [entry(i, j) for j in range(2)]
         rows.append(_cdf_stack(cols, axis=-2))
     fc = _cdf_stack(rows, axis=-3)
-    return fft_df64(fc, length, inverse=True)
+    return _fft_df64(fc, length, inverse=True)
 
 
 def fmult2x2_tree_df64(p, *, want=None):

@@ -30,13 +30,14 @@ import numpy as np
 from fnft_tpu.models.discretization import Discretization, degree, splitting_spec
 from fnft_tpu.ops.df64 import (
     _cdf_index,
+    _cdf_reg,
+    _fft_df64,
     cdf_add,
     cdf_from_c128,
     cdf_mul,
     cdf_sub,
     cdf_to_c128,
     df_from_f64,
-    fft_df64,
 )
 from fnft_tpu.ops.poly import _spiral_table
 from fnft_tpu.ops.df64 import next_fft_length_df64 as next_fft_length  # 2^a or 3*2^a
@@ -349,27 +350,40 @@ def _tree_df64(p, n_true: int, deg_in: int, want=None,
 
 
 def _chirpz_df64(coeffs, a_pt: complex, w_pt: complex, m: int):
-    """df64 chirp-Z of a cdf coefficient vector."""
+    """df64 chirp-Z of a cdf coefficient vector.
+
+    Spiral tables go through the table registry: at D=2^20 the three cdf
+    tables total ~200 MB of literals otherwise (see ops/tables.py)."""
     n = coeffs[0][0].shape[-1]
     length = next_fft_length(n + m - 1)
-    ks = np.arange(max(n, m), dtype=np.float64)
-    w_half = _spiral_table(complex(w_pt), 0.5 * ks * ks)
-    a_pow = _spiral_table(complex(a_pt), ks[:n])
-    x_weight = cdf_from_c128(a_pow * w_half[:n])
-    x = cdf_mul(coeffs, x_weight)
+    a_pt, w_pt = complex(a_pt), complex(w_pt)
+    key = (n, m, a_pt, w_pt)
 
-    v = np.zeros(length, dtype=np.complex128)
-    v[:m] = 1.0 / w_half[:m]
-    neg = _spiral_table(complex(w_pt), 0.5 * ks[1:n] * ks[1:n])
-    v[length - n + 1:] = (1.0 / neg)[::-1]
-    v_f = cdf_from_c128(np.fft.fft(v))
+    def _xw():
+        ks = np.arange(n, dtype=np.float64)
+        return _spiral_table(a_pt, ks) * _spiral_table(w_pt, 0.5 * ks * ks)
 
-    xf = fft_df64(jax.tree.map(
+    def _vf():
+        ks = np.arange(max(n, m), dtype=np.float64)
+        w_half = _spiral_table(w_pt, 0.5 * ks * ks)
+        v = np.zeros(length, dtype=np.complex128)
+        v[:m] = 1.0 / w_half[:m]
+        neg = _spiral_table(w_pt, 0.5 * ks[1:n] * ks[1:n])
+        v[length - n + 1:] = (1.0 / neg)[::-1]
+        return np.fft.fft(v)
+
+    def _wout():
+        ks = np.arange(m, dtype=np.float64)
+        return _spiral_table(w_pt, 0.5 * ks * ks)
+
+    x = cdf_mul(coeffs, _cdf_reg(("df64_chirpz_xw",) + key, _xw))
+    v_f = _cdf_reg(("df64_chirpz_vf",) + key, _vf)
+    xf = _fft_df64(jax.tree.map(
         lambda t: jnp.pad(t, [(0, 0)] * (t.ndim - 1)
                           + [(0, length - t.shape[-1])]), x), length)
-    conv = fft_df64(cdf_mul(xf, v_f), length, inverse=True)
+    conv = _fft_df64(cdf_mul(xf, v_f), length, inverse=True)
     out = cdf_mul(_cdf_index(conv, (Ellipsis, slice(0, m))),
-                  cdf_from_c128(w_half[:m]))
+                  _cdf_reg(("df64_chirpz_wout",) + key, _wout))
     return out
 
 
@@ -401,8 +415,9 @@ def _spec_stage_df64(tm, *, a_pt: complex, w_pt: complex, m: int, pf: float,
                        a_pt, w_pt, m)
     h21 = _chirpz_df64(_cdf_index(tm, (Ellipsis, 1, 0, slice(None))),
                        a_pt, w_pt, m)
-    xi = np.linspace(xi_span[0], xi_span[1], m)
-    phase = cdf_from_c128(np.exp(1j * xi * pf))
+    phase = _cdf_reg(
+        ("df64_phase", m, xi_span[0], xi_span[1], pf),
+        lambda: np.exp(1j * np.linspace(xi_span[0], xi_span[1], m) * pf))
     num = cdf_mul(h21, phase)
     return num, h11
 
@@ -470,6 +485,55 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass  # older jax without the persistent cache: best effort
+
+
+def rho_pipeline_df64_tabled(d: int, m: int, t_span, xi_span, *,
+                             kappa: int = 1,
+                             disc: Discretization = Discretization.SPLIT4B,
+                             batch: int | None = None):
+    """Reference-accuracy contspec as one jitted real-f32 program.
+
+    The complex-free twin of :func:`nsev_contspec_df64` for TPU backends
+    without complex types (ops/tpu_pipeline.py documents the backend):
+    takes the signal as four float32 hi/lo planes
+    ``(q_re_hi, q_re_lo, q_im_hi, q_im_lo)`` (host-split from complex128
+    via :func:`fnft_tpu.ops.df64._split_host_complex` semantics) and
+    returns rho's four planes. Every twiddle/chirp-Z/phase table rides as
+    a jit parameter (ops/tables.jit_tabled), so the compiled payload
+    carries no large literals even at D=2^20.
+    """
+    from fnft_tpu.models import nse
+    from fnft_tpu.ops import tables
+    from fnft_tpu.ops.df64 import cdf_div
+
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    eps_t = (t1 - t0) / (d - 1)
+    eps_xi = (xi1 - xi0) / (m - 1)
+    deg1 = max(degree(disc), 1)
+    a_pt = complex(np.exp(2j * xi0 * eps_t / deg1))
+    w_pt = complex(np.exp(2j * eps_xi * eps_t / deg1))
+    pf = float(nse.phase_factor_rho(eps_t, t1, disc))
+
+    def fn(qrh, qrl, qih, qil):
+        q_cdf = ((qrh, qrl), (qih, qil))
+        p = _tm_stage_df64(q_cdf, eps_t=eps_t, kappa=kappa, disc=disc)
+        tm, _ = _tree_df64(p, n_true=d, deg_in=degree(disc),
+                           want=((0, 0), (1, 0)), jsym=kappa)
+        h11 = _chirpz_df64(_cdf_index(tm, (Ellipsis, 0, 0, slice(None))),
+                           a_pt, w_pt, m)
+        h21 = _chirpz_df64(_cdf_index(tm, (Ellipsis, 1, 0, slice(None))),
+                           a_pt, w_pt, m)
+        phase = _cdf_reg(
+            ("df64_phase", m, xi0, xi1, pf),
+            lambda: np.exp(1j * np.linspace(xi0, xi1, m) * pf))
+        rho = cdf_div(cdf_mul(h21, phase), h11)
+        return rho[0][0], rho[0][1], rho[1][0], rho[1][1]
+
+    body = fn if batch is None else jax.vmap(fn)
+    shape = (d,) if batch is None else (batch, d)
+    ex = (jax.ShapeDtypeStruct(shape, jnp.float32),) * 4
+    return tables.jit_tabled(body, ex)
 
 
 def nsev_contspec_df64(q128, *, d: int, m: int, t_span, xi_span,

@@ -146,6 +146,71 @@ rec.update(best_seconds=best, compile_seconds=compile_s, rel_err=rel,
 print('STAGE_JSON ' + json.dumps(rec))
 """
 
+DF64_STAGE = _PRELUDE + """
+from fnft_tpu.ops.df64_pipeline import rho_pipeline_df64_tabled
+
+d, m, reps = cfg['d'], cfg['m'], cfg['reps']
+t = np.linspace(-25.0, 25.0, d)
+q = (1j * 3.2 / np.cosh(t)).astype(np.complex128)
+re, im = np.real(q), np.imag(q)
+rh = re.astype(np.float32); rl = (re - rh.astype(np.float64)).astype(np.float32)
+ih = im.astype(np.float32); il = (im - ih.astype(np.float64)).astype(np.float32)
+fn = rho_pipeline_df64_tabled(d, m, (-25.0, 25.0), (-2.0, 2.0))
+args = [jax.device_put(jnp.asarray(a)) for a in (rh, rl, ih, il)]
+t0 = time.perf_counter()
+out = fn(*args)
+sync_scalar(out[0])
+compile_s = time.perf_counter() - t0
+best = float('inf')
+for _ in range(reps):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    sync_scalar(out[0])
+    best = min(best, time.perf_counter() - t0)
+mid = abs(complex(
+    float(np.asarray(out[0][..., m // 2])) + float(np.asarray(out[1][..., m // 2])),
+    float(np.asarray(out[2][..., m // 2])) + float(np.asarray(out[3][..., m // 2]))))
+rec = dict(cfg)
+rec.update(best_seconds=best, compile_seconds=compile_s, rho0_abs=mid,
+           platform=jax.devices()[0].platform, pipeline='df64_tabled',
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'),
+           accuracy_check_passed=bool(abs(cfg['expect_rho0'] - mid) <= 1e-3))
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
+# the reference-tolerance claim on TPU: full analytic-contspec comparison
+# in df64, gated on the reference c128 test bound scaled by 2SPLIT4B's
+# 2nd-order convergence (3.9e-6 at D=4096; floor = df64 roundoff margin)
+DF64_HARNESS_STAGE = _PRELUDE + """
+from fnft_tpu.ops.df64_pipeline import rho_pipeline_df64_tabled
+from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+
+d = cfg['d']
+data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
+q = np.asarray(data.q, np.complex128)
+re, im = np.real(q), np.imag(q)
+rh = re.astype(np.float32); rl = (re - rh.astype(np.float64)).astype(np.float32)
+ih = im.astype(np.float32); il = (im - ih.astype(np.float64)).astype(np.float32)
+fn = rho_pipeline_df64_tabled(d, data.m, data.t_span, data.xi_span)
+args = [jax.device_put(jnp.asarray(a)) for a in (rh, rl, ih, il)]
+t0 = time.perf_counter()
+out = fn(*args)
+sync_scalar(out[0])
+compile_s = time.perf_counter() - t0
+got = (np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)) \
+    + 1j * (np.asarray(out[2], np.float64) + np.asarray(out[3], np.float64))
+ref = np.asarray(data.contspec)
+cerr = float(np.max(np.abs(got - ref)) / np.max(np.abs(ref)))
+bound = max(3.9e-6 * (4096.0 / d) ** 2, 1e-8)
+rec = dict(cfg)
+rec.update(contspec_rel_err=cerr, c128_reference_bound=bound,
+           within_c128_reference_bound=bool(cerr <= bound),
+           compile_seconds=compile_s, platform=jax.devices()[0].platform,
+           pipeline='df64_tabled', ts=time.strftime('%Y-%m-%dT%H:%M:%S'),
+           accuracy_check_passed=bool(cerr <= bound))
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
 # expect_rho0: |rho(0)| of the Satsuma-Yajima A=3.2 sech
 # Ordered cheapest-first so a short healthy window still records the
 # validation + small sizes before attempting the long 2^20 compile.
@@ -165,6 +230,20 @@ STAGES = [
          expect_rho0=0.7265425),
     dict(name="single_D1048576", d=1 << 20, m=1 << 20, batch=1, reps=3,
          expect_rho0=0.7265425),
+    # df64 tier: reference-tolerance evidence (harness stages use the
+    # testcase's 16-point analytic contspec, so the tree dominates)
+    dict(name="df64_harness_D4096", d=1 << 12, df64_harness=True,
+         timeout=1800),
+    dict(name="df64_single_D4096", d=1 << 12, m=1 << 12, reps=3,
+         expect_rho0=0.7265425, df64=True, timeout=1800),
+    dict(name="df64_harness_D65536", d=1 << 16, df64_harness=True,
+         timeout=2400),
+    dict(name="df64_single_D65536", d=1 << 16, m=1 << 16, reps=3,
+         expect_rho0=0.7265425, df64=True, timeout=2400),
+    dict(name="df64_harness_D1048576", d=1 << 20, df64_harness=True,
+         timeout=3600),
+    dict(name="df64_single_D1048576", d=1 << 20, m=1 << 20, reps=3,
+         expect_rho0=0.7265425, df64=True, timeout=3600),
 ]
 
 
@@ -221,11 +300,15 @@ def main() -> int:
                 cfg = json.dumps(st)
                 # first-compile of the 2^18/2^20 programs costs minutes on
                 # the remote helper (cached afterwards)
-                tmo = 600 if st["d"] < (1 << 18) else 1500
+                tmo = st.get("timeout", 600 if st["d"] < (1 << 18) else 1500)
                 if st.get("harness"):
                     template = HARNESS_STAGE
                 elif st.get("mxu_fft"):
                     template = MXU_FFT_STAGE
+                elif st.get("df64_harness"):
+                    template = DF64_HARNESS_STAGE
+                elif st.get("df64"):
+                    template = DF64_STAGE
                 else:
                     template = STAGE
                 code = (template.replace("{cfg}", cfg)
