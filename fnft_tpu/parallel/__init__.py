@@ -22,6 +22,11 @@ from fnft_tpu.parallel.dshard_boundstates import (  # noqa: F401
     dshard_boundstates_reference,
     make_dshard_boundstates,
 )
+from fnft_tpu.parallel.dshard_inverse import (  # noqa: F401
+    dshard_finvscatter,
+    make_sharded_polymatmul,
+    sharded_fft_reference,
+)
 from fnft_tpu.parallel.dshard_nsep import (  # noqa: F401
     dshard_nsep_reference,
     make_dshard_nsep_refine,

@@ -150,12 +150,18 @@ DF64_STAGE = _PRELUDE + """
 from fnft_tpu.ops.df64_pipeline import rho_pipeline_df64_tabled
 
 d, m, reps = cfg['d'], cfg['m'], cfg['reps']
+batch = cfg.get('batch', 1)
 t = np.linspace(-25.0, 25.0, d)
-q = (1j * 3.2 / np.cosh(t)).astype(np.complex128)
+if batch == 1:
+    q = (1j * 3.2 / np.cosh(t)).astype(np.complex128)
+else:
+    q = np.stack([(1j * (1.0 + k / batch) / np.cosh(t))
+                  for k in range(batch)]).astype(np.complex128)
 re, im = np.real(q), np.imag(q)
 rh = re.astype(np.float32); rl = (re - rh.astype(np.float64)).astype(np.float32)
 ih = im.astype(np.float32); il = (im - ih.astype(np.float64)).astype(np.float32)
-fn = rho_pipeline_df64_tabled(d, m, (-25.0, 25.0), (-2.0, 2.0))
+fn = rho_pipeline_df64_tabled(d, m, (-25.0, 25.0), (-2.0, 2.0),
+                              batch=None if batch == 1 else batch)
 args = [jax.device_put(jnp.asarray(a)) for a in (rh, rl, ih, il)]
 t0 = time.perf_counter()
 out = fn(*args)
@@ -168,13 +174,20 @@ for _ in range(reps):
     sync_scalar(out[0])
     best = min(best, time.perf_counter() - t0)
 mid = abs(complex(
-    float(np.asarray(out[0][..., m // 2])) + float(np.asarray(out[1][..., m // 2])),
-    float(np.asarray(out[2][..., m // 2])) + float(np.asarray(out[3][..., m // 2]))))
+    float(np.asarray(out[0][..., m // 2]).ravel()[0])
+    + float(np.asarray(out[1][..., m // 2]).ravel()[0]),
+    float(np.asarray(out[2][..., m // 2]).ravel()[0])
+    + float(np.asarray(out[3][..., m // 2]).ravel()[0])))
 rec = dict(cfg)
 rec.update(best_seconds=best, compile_seconds=compile_s, rho0_abs=mid,
            platform=jax.devices()[0].platform, pipeline='df64_tabled',
-           ts=time.strftime('%Y-%m-%dT%H:%M:%S'),
-           accuracy_check_passed=bool(abs(cfg['expect_rho0'] - mid) <= 1e-3))
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+if batch == 1 and cfg.get('expect_rho0'):
+    rec['accuracy_check_passed'] = bool(
+        abs(cfg['expect_rho0'] - mid) <= 1e-3)
+else:
+    rec['spectra_per_sec'] = round(batch / best, 1)
+    rec['accuracy_check_passed'] = bool(np.isfinite(mid))
 print('STAGE_JSON ' + json.dumps(rec))
 """
 
@@ -244,6 +257,12 @@ STAGES = [
          timeout=3600),
     dict(name="df64_single_D1048576", d=1 << 20, m=1 << 20, reps=3,
          expect_rho0=0.7265425, df64=True, timeout=3600),
+    # reference-tolerance batched throughput (NFDM symbol size)
+    dict(name="df64_batched256_D4096", d=1 << 12, m=1 << 12, batch=256,
+         reps=3, df64=True, timeout=2400),
+    # c64 batched throughput at a longer symbol
+    dict(name="batched64_D65536", d=1 << 16, m=1 << 16, batch=64, reps=3,
+         timeout=2400),
 ]
 
 
