@@ -16,7 +16,13 @@ import jax
 import jax.numpy as jnp
 
 from fnft_tpu.config import complex_dtype_of, eps_of
+from fnft_tpu.errors import warn
 from fnft_tpu.utils.misc import next_fft_length
+
+
+def _warn_if_ill_posed(flag) -> None:
+    if bool(flag):
+        warn("Ill-posed spectral factorization problem.")
 
 
 @partial(jax.jit, static_argnames=("oversampling_factor", "kappa"))
@@ -41,6 +47,12 @@ def poly_specfact(coeffs, *, oversampling_factor: int = 32, kappa: int = 0):
     elif kappa == -1:
         x = 0.5 * jnp.log1p(abs2)
     elif kappa == 1:
+        # the reference WARNs (without aborting) when |B|^2 approaches 1,
+        # i.e. the log argument loses positivity and the factorization is
+        # ill-posed (fnft__poly_specfact.c:96-111); surface the same signal
+        # through the pluggable sink instead of clamping silently
+        ill_posed = jnp.any(abs2 > 1.0 - tol, axis=None)
+        jax.debug.callback(_warn_if_ill_posed, ill_posed)
         x = 0.5 * jnp.log(jnp.maximum(1.0 - abs2, tol * tol))
     else:
         raise ValueError("kappa must be -1, 0 or +1")
