@@ -701,6 +701,66 @@ def kdvv_contspec_df64(u128, *, d: int, m: int, t_span, xi_span,
     return num / den
 
 
+def kdvv_pipeline_df64_tabled(d: int, m: int, t_span, xi_span, *,
+                              disc: Discretization = Discretization.SPLIT4B,
+                              batch: int | None = None):
+    """KdV reflection coefficient as ONE jitted real-f32 program.
+
+    The tabled (TPU-executable) twin of :func:`kdvv_contspec_df64`: takes
+    the potential as four float32 hi/lo planes and returns rho's four
+    planes, with the negated-grid chirp-Z and the KdV rho formula
+    (fnft_kdvv.c:126-209; num = e^{2 i xi_n (T1 + eps/2)} H12,
+    den = 2 i xi_n H22 - H12, xi_n = -xi) evaluated on-device in cdf
+    arithmetic. The 2^w tree normalization cancels in the ratio. Every
+    table (twiddles, chirp-Z spirals, phase/grid vectors) rides as a jit
+    parameter via ops/tables.jit_tabled.
+    """
+    from fnft_tpu.ops import tables
+    from fnft_tpu.ops.df64 import cdf_div
+
+    t0, t1 = float(t_span[0]), float(t_span[1])
+    xi0, xi1 = float(xi_span[0]), float(xi_span[1])
+    if disc is Discretization.SPLIT2A:
+        raise ValueError("tabled KdV pipeline: use SPLIT4B/SPLIT4A "
+                         "(SPLIT2A needs the sqrt-z shift, kdvv.py)")
+    eps_t = (t1 - t0) / (d - 1)
+    eps_xi = (xi1 - xi0) / (m - 1)
+    deg1 = max(degree(disc), 1)
+    a_pt = complex(np.exp(-2j * xi0 * eps_t / deg1))
+    w_pt = complex(np.exp(-2j * eps_xi * eps_t / deg1))
+
+    def _xi_neg():
+        return -(xi0 + eps_xi * np.arange(m, dtype=np.float64))
+
+    def fn(urh, url, uih, uil):
+        u_cdf = ((urh, url), (uih, uil))
+        dd = urh.shape[-1]
+        ones = jnp.ones(dd, jnp.float32)
+        zeros = jnp.zeros(dd, jnp.float32)
+        r_cdf = ((-ones, zeros), (zeros, zeros))          # r = -1
+        p = transfer_matrix_coeffs_df64(u_cdf, r_cdf, eps_t, disc)
+        tm, _ = _tree_df64(p, n_true=d, deg_in=degree(disc),
+                           want=((0, 1), (1, 1)))
+        h12 = _chirpz_df64(_cdf_index(tm, (Ellipsis, 0, 1, slice(None))),
+                           a_pt, w_pt, m)
+        h22 = _chirpz_df64(_cdf_index(tm, (Ellipsis, 1, 1, slice(None))),
+                           a_pt, w_pt, m)
+        phase = _cdf_reg(
+            ("df64_kdv_phase", m, xi0, xi1, t1, eps_t),
+            lambda: np.exp(2j * _xi_neg() * (t1 + 0.5 * eps_t)))
+        two_i_xi = _cdf_reg(("df64_kdv_2ixi", m, xi0, xi1),
+                            lambda: 2j * _xi_neg())
+        num = cdf_mul(phase, h12)
+        den = cdf_sub(cdf_mul(two_i_xi, h22), h12)
+        rho = cdf_div(num, den)
+        return rho[0][0], rho[0][1], rho[1][0], rho[1][1]
+
+    body = fn if batch is None else jax.vmap(fn)
+    shape = (d,) if batch is None else (batch, d)
+    ex = (jax.ShapeDtypeStruct(shape, jnp.float32),) * 4
+    return tables.jit_tabled(body, ex)
+
+
 def nsev_boundstates_df64_batched(q128_batch, *, d: int, t_span,
                                   kappa: int = +1,
                                   disc: Discretization = Discretization.SPLIT4B,

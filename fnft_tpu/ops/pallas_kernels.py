@@ -269,22 +269,37 @@ def repulsion_sum(z_all, z_t, t_idx, *, interpret: bool = False):
     ~0.9 MB at the eiscor-ceiling deg ~1e5), so each sweep is one HBM read
     of z_all per i-block instead of one per (i-block, j-chunk) pair.
     """
-    deg = z_all.shape[0]
-    m = z_t.shape[0]
     cdt = z_t.dtype
     rdt = jnp.float64 if (cdt == jnp.complex128 and interpret) else jnp.float32
+    sr, si = repulsion_sum_planes(
+        jnp.real(z_all).astype(rdt), jnp.imag(z_all).astype(rdt),
+        jnp.real(z_t).astype(rdt), jnp.imag(z_t).astype(rdt),
+        t_idx, interpret=interpret)
+    return (sr + 1j * si).astype(cdt)
+
+
+def repulsion_sum_planes(zr_all, zi_all, tr_t, ti_t, t_idx, *,
+                         interpret: bool = False):
+    """Real-plane entry of :func:`repulsion_sum` for complex-free backends.
+
+    Takes (re, im) float planes and returns (s_re, s_im) planes — no
+    complex-typed HLO anywhere, so the kernel can run on the axon TPU
+    backend (ops/rc.py documents it); used by ops/tpu_roots and the
+    watcher's hardware-agreement stage.
+    """
+    deg = zr_all.shape[0]
+    m = tr_t.shape[0]
+    rdt = zr_all.dtype
 
     nch = max(1, -(-deg // REP_JCHUNK))
     deg_pad = nch * REP_JCHUNK
     mblk = max(1, -(-m // REP_IBLK))
     m_pad = mblk * REP_IBLK
 
-    zp = jnp.pad(z_all, (0, deg_pad - deg))
-    zr = jnp.real(zp).astype(rdt).reshape(nch, REP_JCHUNK)
-    zi = jnp.imag(zp).astype(rdt).reshape(nch, REP_JCHUNK)
-    tp = jnp.pad(z_t, (0, m_pad - m))
-    tr = jnp.real(tp).astype(rdt).reshape(mblk * REP_IBLK, 1)
-    ti = jnp.imag(tp).astype(rdt).reshape(mblk * REP_IBLK, 1)
+    zr = jnp.pad(zr_all, (0, deg_pad - deg)).reshape(nch, REP_JCHUNK)
+    zi = jnp.pad(zi_all, (0, deg_pad - deg)).reshape(nch, REP_JCHUNK)
+    tr = jnp.pad(tr_t, (0, m_pad - m)).reshape(mblk * REP_IBLK, 1)
+    ti = jnp.pad(ti_t, (0, m_pad - m)).reshape(mblk * REP_IBLK, 1)
     # padding rows point at j = deg (masked); their sums are discarded
     ip = jnp.pad(t_idx.astype(jnp.int32), (0, m_pad - m),
                  constant_values=deg)
@@ -306,5 +321,4 @@ def repulsion_sum(z_all, z_t, t_idx, *, interpret: bool = False):
         out_shape=out_shape,
         interpret=interpret,
     )(zr, zi, tr, ti, ip)
-    s = (or_[:, 0] + 1j * oi_[:, 0])[:m]
-    return s.astype(cdt)
+    return or_[:m, 0], oi_[:m, 0]

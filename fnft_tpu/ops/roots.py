@@ -218,10 +218,19 @@ def newton_polygon_init_jax(coeffs):
     pipelines get polygon-quality starts without host syncs.
     """
     coeffs = jnp.asarray(coeffs)
-    n1 = coeffs.shape[-1]
+    radius, ang = newton_polygon_polar_jax(jnp.abs(coeffs))
+    return (radius * jnp.exp(1j * ang)).astype(complex_dtype_of(coeffs))
+
+
+def newton_polygon_polar_jax(absc):
+    """Traceable Bini initial guesses as (radius, angle) real arrays.
+
+    The polar split lets complex-free backends (ops/tpu_roots.py) build
+    the same initial points without any complex-typed HLO."""
+    absc = jnp.asarray(absc)
+    n1 = absc.shape[-1]
     deg = n1 - 1
-    rdt = jnp.real(coeffs).dtype
-    absc = jnp.abs(coeffs)
+    rdt = absc.dtype
     neg_inf = jnp.asarray(-jnp.inf, rdt)
     logc = jnp.where(absc > 0, jnp.log(jnp.where(absc > 0, absc, 1.0)),
                      neg_inf)
@@ -278,7 +287,7 @@ def newton_polygon_init_jax(coeffs):
     j_in = (pos - seg_start[seg_of]).astype(rdt)
     two_pi = 6.283185307179586
     ang = two_pi * (j_in + 0.5) / m_seg + 0.7 * seg_end[seg_of].astype(rdt)
-    return (radius * jnp.exp(1j * ang)).astype(complex_dtype_of(coeffs))
+    return radius, ang
 
 
 @partial(jax.jit, static_argnames=("num_iters", "return_iters"))

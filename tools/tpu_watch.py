@@ -224,6 +224,217 @@ rec.update(contspec_rel_err=cerr, c128_reference_bound=bound,
 print('STAGE_JSON ' + json.dumps(rec))
 """
 
+REPULSION_STAGE = _PRELUDE + """
+from fnft_tpu.ops.pallas_kernels import repulsion_sum_planes
+from fnft_tpu.ops import tpu_roots
+from fnft_tpu.ops import roots as roots_mod
+
+deg = cfg['d']
+rng = np.random.default_rng(0)
+zr = jax.device_put(jnp.asarray(rng.standard_normal(deg), jnp.float32))
+zi = jax.device_put(jnp.asarray(rng.standard_normal(deg), jnp.float32))
+idx = jnp.arange(deg, dtype=jnp.int32)
+roots_mod.set_pallas_repulsion(False)          # XLA reference path
+f_x = jax.jit(lambda a, b: tpu_roots._repulsion_rc((a, b), (a, b), idx))
+sx = f_x(zr, zi)
+sxr, sxi = np.asarray(sx[0], np.float64), np.asarray(sx[1], np.float64)
+f_p = jax.jit(lambda a, b: repulsion_sum_planes(a, b, a, b, idx))
+t0 = time.perf_counter()
+sp = f_p(zr, zi)
+sync_scalar(sp[0])
+compile_s = time.perf_counter() - t0
+best = float('inf')
+for _ in range(cfg['reps']):
+    t0 = time.perf_counter()
+    sp = f_p(zr, zi)
+    sync_scalar(sp[0])
+    best = min(best, time.perf_counter() - t0)
+spr, spi = np.asarray(sp[0], np.float64), np.asarray(sp[1], np.float64)
+den = max(float(np.max(np.hypot(sxr, sxi))), 1e-30)
+rel = float(max(np.max(np.abs(spr - sxr)), np.max(np.abs(spi - sxi))) / den)
+rec = dict(cfg)
+rec.update(best_seconds=best, compile_seconds=compile_s, rel_err=rel,
+           platform=jax.devices()[0].platform,
+           accuracy_check_passed=bool(rel < 1e-4),
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
+FULLSPEC_STAGE = _PRELUDE + """
+from fnft_tpu.testcases import NsevTestcase, nsev_testcase, nsev_errors
+from fnft_tpu.ops.tpu_fullspec import nsev_fullspec_df64
+
+d = cfg['d']
+data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
+q = np.asarray(data.q, np.complex128)
+m = data.m if cfg.get('harness') else d
+xi = data.xi_span
+t0 = time.perf_counter()
+out = nsev_fullspec_df64(q, data.t_span, m=m, xi_span=xi, niter=10)
+cold = time.perf_counter() - t0
+t0 = time.perf_counter()
+out = nsev_fullspec_df64(q, data.t_span, m=m, xi_span=xi, niter=10)
+best = time.perf_counter() - t0
+
+class R: pass
+r = R()
+r.reflection_coefficient = out['rho'] if cfg.get('harness') else None
+r.a = r.b = None
+r.bound_states = out['bound_states']
+r.norming_constants = out['norming_constants']
+r.residues = out['residues']
+errs = nsev_errors(r, data)
+scale = (4096.0 / d) ** 2
+bounds = dict(contspec=max(3.9e-6 * scale, 1e-8),
+              bound_states=max(1.6e-5 * scale, 5e-8),
+              normconsts=max(5e-14, 1e-12),
+              residues=max(2.1e-6 * scale, 1e-8))
+checked = {k: v for k, v in bounds.items()
+           if errs.get(k) is not None}
+ok = all(errs[k] <= v for k, v in checked.items())
+rec = dict(cfg)
+rec.update(best_seconds=best, cold_seconds=cold,
+           errors={k: errs.get(k) for k in bounds},
+           c128_reference_bounds=bounds, n_states=int(len(out['bound_states'])),
+           within_c128_reference_bound=bool(ok),
+           accuracy_check_passed=bool(ok),
+           platform=jax.devices()[0].platform, pipeline='fullspec_df64',
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
+FULLSPEC_BATCH_STAGE = _PRELUDE + """
+from fnft_tpu.ops.tpu_fullspec import nsev_fullspec_df64
+from fnft_tpu.ops.df64_pipeline import rho_pipeline_df64_tabled
+
+d, batch = cfg['d'], cfg['batch']
+t = np.linspace(-25.0, 25.0, d)
+amps = np.linspace(3.05, 3.45, batch)     # all have 3 bound states
+fn = rho_pipeline_df64_tabled(d, d, (-25.0, 25.0), (-2.0, 2.0))
+qs = [1j * a / np.cosh(t) for a in amps]
+# warm every program shape once (contspec + locate + newton + ab)
+out = nsev_fullspec_df64(qs[0], (-25.0, 25.0), m=d, xi_span=(-2.0, 2.0),
+                         contspec_fn=fn)
+assert len(out['bound_states']) == 3
+t0 = time.perf_counter()
+ns = 0
+for qq in qs:
+    out = nsev_fullspec_df64(qq, (-25.0, 25.0), m=d, xi_span=(-2.0, 2.0),
+                             contspec_fn=fn)
+    ns += len(out['bound_states'])
+el = time.perf_counter() - t0
+rec = dict(cfg)
+rec.update(best_seconds=el / batch, total_seconds=el,
+           spectra_per_sec=round(batch / el, 2), states_total=ns,
+           accuracy_check_passed=bool(ns == 3 * batch),
+           platform=jax.devices()[0].platform, pipeline='fullspec_df64',
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
+KDVV_STAGE = _PRELUDE + """
+import scipy.special as sp
+from fnft_tpu.ops.df64_pipeline import kdvv_pipeline_df64_tabled
+from fnft_tpu.models.discretization import Discretization
+
+d = cfg['d']
+if cfg.get('harness'):
+    # closed-form sech case (tests/test_kdvv._sech_case grid)
+    a_amp = 3.2
+    t_span = (-16.0, 15.0)
+    tt = np.linspace(*t_span, d)
+    u = a_amp / np.cosh(tt) ** 2
+    xi_span = (-71.0 / 20.0, 79.0 / 20.0)
+    m = 16
+    xi = (-0.1 + np.arange(-7.0, 9.0)) / 2.0
+    s_ = np.sqrt(a_amp + 0.25)
+    at = 0.5 - 1j * xi + s_
+    bt = 0.5 - 1j * xi - s_
+    ct = 1.0 - 1j * xi
+    a_of = sp.gamma(at) * sp.gamma(bt) / (sp.gamma(ct) * sp.gamma(at + bt - ct))
+    rho_ref = a_of * sp.gamma(ct) * sp.gamma(ct - at - bt) / (
+        sp.gamma(ct - at) * sp.gamma(ct - bt))
+    disc = Discretization.SPLIT4B
+else:
+    # the C anchor config: sech 3.2, T=[-25,25], M=D, XI=[-2,2], 2SPLIT8B
+    t_span = (-25.0, 25.0)
+    tt = np.linspace(*t_span, d)
+    u = 3.2 / np.cosh(tt)
+    xi_span = (-2.0, 2.0)
+    m = d
+    rho_ref = None
+    disc = Discretization.SPLIT8B
+fn = kdvv_pipeline_df64_tabled(d, m, t_span, xi_span, disc=disc)
+uh = u.astype(np.float32)
+ul = (u - uh.astype(np.float64)).astype(np.float32)
+z = np.zeros_like(uh)
+args = [jax.device_put(jnp.asarray(x)) for x in (uh, ul, z, z)]
+t0 = time.perf_counter()
+out = fn(*args)
+sync_scalar(out[0])
+compile_s = time.perf_counter() - t0
+best = float('inf')
+for _ in range(cfg['reps']):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    sync_scalar(out[0])
+    best = min(best, time.perf_counter() - t0)
+rho = (np.asarray(out[0], np.float64) + np.asarray(out[1], np.float64)
+       + 1j * (np.asarray(out[2], np.float64) + np.asarray(out[3], np.float64)))
+rec = dict(cfg)
+rec.update(best_seconds=best, compile_seconds=compile_s,
+           platform=jax.devices()[0].platform, pipeline='kdvv_df64',
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+if rho_ref is not None:
+    err = float(np.max(np.abs(rho - rho_ref)) / np.max(np.abs(rho_ref)))
+    bound = max(3.05e-5 * (4096.0 / d) ** 2, 1e-8)  # test_kdvv SPLIT4B bound
+    rec.update(contspec_rel_err=err, c128_reference_bound=bound,
+               accuracy_check_passed=bool(err <= bound))
+else:
+    rec.update(rho0_abs=float(np.abs(rho[m // 2])),
+               c_anchor_seconds=10.33,
+               vs_c_anchor=round(10.33 / best, 1),
+               accuracy_check_passed=bool(np.isfinite(np.abs(rho).max())))
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
+ROOTS_CEILING_STAGE = _PRELUDE + """
+from fnft_tpu.ops.tpu_roots import poly_roots_rc, polish_certify_cdf
+from fnft_tpu.ops.roots import certified_tol
+
+data = np.load('tests/data/ceiling_split7a_deg107520.npz')
+c = data['coeffs']
+eps_sub = float(data['eps_sub'])
+exact = data['bound_states']
+deg = c.shape[-1] - 1
+cr = jax.device_put(jnp.asarray(c.real.astype(np.float32)))
+ci = jax.device_put(jnp.asarray(c.imag.astype(np.float32)))
+t0 = time.perf_counter()
+rr, ri = poly_roots_rc((cr, ci), num_iters=cfg.get('iters', 60))
+sync_scalar(rr)
+aberth_s = time.perf_counter() - t0
+roots32 = np.asarray(rr, np.float64) + 1j * np.asarray(ri, np.float64)
+t0 = time.perf_counter()
+pol, eta = polish_certify_cdf(c, roots32, iters=3)
+polish_s = time.perf_counter() - t0
+tol = certified_tol(deg)
+frac = float((eta <= tol).mean())
+lam = np.log(pol.astype(np.complex128)) / (2j * eps_sub / 105.0)
+keep = lam[(np.abs(lam.real) < 2) & (lam.imag > 0.2) & (lam.imag < 5)]
+dists = [float(np.min(np.abs(keep - e))) if keep.size else float('inf')
+         for e in exact]
+rec = dict(cfg)
+rec.update(best_seconds=aberth_s + polish_s, aberth_seconds=aberth_s,
+           polish_seconds=polish_s, certified_fraction=frac,
+           certified_tol=tol, eta_median=float(np.median(eta)),
+           bound_state_distances=dists, deg=deg,
+           platform=jax.devices()[0].platform,
+           accuracy_check_passed=bool(frac >= 0.999
+                                      and max(dists) < 5e-3),
+           ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
 # expect_rho0: |rho(0)| of the Satsuma-Yajima A=3.2 sech
 # Ordered cheapest-first so a short healthy window still records the
 # validation + small sizes before attempting the long 2^20 compile.
@@ -263,6 +474,26 @@ STAGES = [
     # c64 batched throughput at a longer symbol
     dict(name="batched64_D65536", d=1 << 16, m=1 << 16, batch=64, reps=3,
          timeout=2400),
+    # ---- round 5: discrete spectrum, Pallas validation, kdvv ----------
+    dict(name="pallas_repulsion_hw_validation", d=1 << 12, reps=5,
+         repulsion=True, timeout=1200),
+    dict(name="pallas_repulsion_deg65536", d=1 << 16, reps=3,
+         repulsion=True, timeout=1800),
+    dict(name="kdvv_df64_harness_D4096", d=1 << 12, reps=3, kdvv=True,
+         harness=True, timeout=1800),
+    dict(name="fullspec_D4096_harness", d=1 << 12, fullspec=True,
+         harness=True, timeout=2400),
+    dict(name="df64_single_D262144", d=1 << 18, m=1 << 18, reps=3,
+         expect_rho0=0.7265425, df64=True, timeout=3000),
+    dict(name="kdvv_df64_D131072", d=1 << 17, reps=3, kdvv=True,
+         timeout=3000),
+    dict(name="fullspec_batched16_D4096", d=1 << 12, batch=16,
+         fullspec_batch=True, timeout=2400),
+    dict(name="df64_fullspec_D1048576", d=1 << 20, fullspec=True,
+         timeout=3600),
+    # eiscor-ceiling rootfinding ON TPU: rc Aberth + df64 polish/certify
+    dict(name="roots_ceiling_deg107520_tpu", d=107520, iters=60,
+         roots_ceiling=True, timeout=3600),
 ]
 
 
@@ -320,7 +551,17 @@ def main() -> int:
                 # first-compile of the 2^18/2^20 programs costs minutes on
                 # the remote helper (cached afterwards)
                 tmo = st.get("timeout", 600 if st["d"] < (1 << 18) else 1500)
-                if st.get("harness"):
+                if st.get("roots_ceiling"):
+                    template = ROOTS_CEILING_STAGE
+                elif st.get("repulsion"):
+                    template = REPULSION_STAGE
+                elif st.get("fullspec"):
+                    template = FULLSPEC_STAGE
+                elif st.get("fullspec_batch"):
+                    template = FULLSPEC_BATCH_STAGE
+                elif st.get("kdvv"):
+                    template = KDVV_STAGE
+                elif st.get("harness"):
                     template = HARNESS_STAGE
                 elif st.get("mxu_fft"):
                     template = MXU_FFT_STAGE
