@@ -369,6 +369,35 @@ def _recorded_tpu_highlights(log2d: int) -> dict:
             harness["within_c128_reference_bound"]
         out["recorded_tpu_df64_contspec_rel_err"] = \
             harness.get("contspec_rel_err")
+    # ---- round-5 records: full spectrum, kdvv, Pallas, roots ceiling ----
+    fspec = latest.get(f"df64_fullspec_D{d}")
+    if fspec and fspec.get("accuracy_check_passed"):
+        out["recorded_tpu_fullspec_seconds"] = fspec["best_seconds"]
+        out["recorded_tpu_fullspec_errors"] = fspec.get("errors")
+    fh = latest.get("fullspec_D4096_harness")
+    if fh and "within_c128_reference_bound" in fh:
+        out["recorded_tpu_fullspec_D4096_within_reference_bounds"] = \
+            fh["within_c128_reference_bound"]
+    fb = latest.get("fullspec_batched16_D4096")
+    if fb and fb.get("spectra_per_sec"):
+        out["recorded_tpu_fullspec_spectra_per_sec"] = fb["spectra_per_sec"]
+    kdvv = latest.get("kdvv_df64_D131072")
+    if kdvv and kdvv.get("accuracy_check_passed"):
+        out["recorded_tpu_kdvv_D131072_seconds"] = kdvv["best_seconds"]
+        out["recorded_tpu_kdvv_vs_c_anchor"] = kdvv.get("vs_c_anchor")
+    kh = latest.get("kdvv_df64_harness_D4096")
+    if kh and "accuracy_check_passed" in kh:
+        out["recorded_tpu_kdvv_within_reference_bound"] = \
+            kh["accuracy_check_passed"]
+    rep = latest.get("pallas_repulsion_hw_validation")
+    if rep:
+        out["recorded_tpu_pallas_repulsion_validated"] = \
+            bool(rep.get("accuracy_check_passed"))
+    ceil = latest.get("roots_ceiling_deg107520_tpu")
+    if ceil and ceil.get("accuracy_check_passed"):
+        out["recorded_tpu_roots_ceiling_seconds"] = ceil["best_seconds"]
+        out["recorded_tpu_roots_ceiling_certified_fraction"] = \
+            ceil.get("certified_fraction")
     return out
 
 

@@ -49,6 +49,21 @@ from fnft_tpu.models.nsev_inverse import (
     InverseCstMethod,
 )
 
+
+def nsev_fullspec_tpu(q128, t_span, *, m: int = 0, xi_span=None,
+                      niter: int = 10):
+    """Complete nsev (contspec + bound states + norming constants +
+    residues) with every device op complex-free float32 — the execution
+    path for TPU backends without complex types or f64 (rc/df64 tiers,
+    reference tolerance). See :func:`fnft_tpu.ops.tpu_fullspec.
+    nsev_fullspec_df64` for details; thin alias kept at the package root
+    because this is the flagship driver's hardware form.
+    """
+    from fnft_tpu.ops.tpu_fullspec import nsev_fullspec_df64
+
+    return nsev_fullspec_df64(q128, t_span, m=m, xi_span=xi_span,
+                              niter=niter)
+
 __version__ = "0.1.0"
 FNFT_REFERENCE_VERSION = (0, 4, 1, "")  # parity target: fnft_version.c:26-45
 
@@ -67,5 +82,5 @@ __all__ = [
     "InverseContspecType", "InverseCstMethod",
     "Discretization", "BoundStateFilter", "BoundStateLocalization",
     "DiscspecType", "ContspecType", "PointFilter", "Localization",
-    "use_x64", "default_complex_dtype",
+    "use_x64", "default_complex_dtype", "nsev_fullspec_tpu",
 ]

@@ -329,8 +329,7 @@ def newton_stage_cdf(q_planes, lam_planes, box, niter: int, h: float,
         ap_hat = cdf_add(_ent(td, 0, 0),
                          _cdf_scale_host(_cdf_muli(a_hat), t_len))
         step = _cdf_div_guarded(a_hat, ap_hat)
-        sr = df_add(step[0], (jnp.zeros_like(step[0][0]),) * 2)[0] * 0 + \
-            step[0][0] + step[0][1]
+        sr = step[0][0] + step[0][1]
         si = step[1][0] + step[1][1]
         lam_new = jax.tree.map(
             lambda t_, s: jnp.where(active, t_ - s, t_),

@@ -82,14 +82,22 @@ def _fft_jsym(x, length: int, kappa: int):
 
 
 def _polymatmul(a, b, out_len=None, a_jsym: int | None = None,
-                jsym: int | None = None):
+                jsym: int | None = None, safe_from: int = 0):
     """(a @ b)(z) for [..., 2, 2, ca] x [..., 2, 2, cb] ascending coeffs.
 
     ``a_jsym``: kappa sign when ``a`` alone is J-symmetric (its FFT runs
     on the first column only).  ``jsym``: kappa sign when *both* factors
     and hence the product are J-symmetric (2 output inverse transforms
     instead of 4, second column reconstructed exactly in coefficient
-    space).  Symmetry is trusted, not checked."""
+    space).  Symmetry is trusted, not checked.
+
+    ``safe_from``: the caller only reads coefficients at indices
+    >= safe_from. The FFT length then shrinks to cover just
+    n_out - safe_from bins: circular aliasing folds the tail
+    coefficients j >= L onto j - L < safe_from — positions the caller
+    never reads. (The T1 peel window [d2, deg] qualifies: the product's
+    true degree is deg + d2, and deg + d2 - L < d2 for L >= deg + 1, so
+    every alias lands strictly below the window.)"""
     ca, cb = a.shape[-1], b.shape[-1]
     n_out = ca + cb - 1
     if min(ca, cb) <= _FFT_THRESHOLD:
@@ -100,7 +108,8 @@ def _polymatmul(a, b, out_len=None, a_jsym: int | None = None,
             seg = _mat2x2_mul(a[..., s:s + 1], b)
             out = out.at[..., s:s + cb].add(seg)
     else:
-        length = next_fft_length(n_out)
+        length = next_fft_length(max(n_out - safe_from,
+                                     (out_len or n_out) - safe_from))
         if jsym is not None or a_jsym is not None:
             fa11, fa12, fa21, fa22 = _fft_jsym(a, length,
                                                jsym if jsym is not None
@@ -123,8 +132,10 @@ def _polymatmul(a, b, out_len=None, a_jsym: int | None = None,
             rows = [fa11 * fb11 + fa12 * fb21, fa11 * fb12 + fa12 * fb22,
                     fa21 * fb11 + fa22 * fb21, fa21 * fb12 + fa22 * fb22]
             f_out = jnp.stack(rows, axis=-2)
-            c_out = jnp.fft.ifft(f_out, axis=-1)[..., :n_out].astype(a.dtype)
-            out = c_out.reshape(c_out.shape[:-2] + (2, 2, n_out))
+            c_out = jnp.fft.ifft(f_out, axis=-1).astype(a.dtype)
+            keep = min(n_out, c_out.shape[-1])   # < n_out when safe_from
+            c_out = c_out[..., :keep]
+            out = c_out.reshape(c_out.shape[:-2] + (2, 2, keep))
     if out_len is not None:
         out = out[..., :out_len]
     return out
@@ -175,21 +186,26 @@ def _peel_scan(t, deg: int, eps_t: float, kappa: int, disc: Discretization):
     def step(carry, _):
         t_cur, acc = carry                       # acc: [..., 2, c] column
         q_s, ti = _base_case(t_cur[..., :2], eps_t, kappa, disc)
-        t_next = _polymatmul(ti, t_cur)[..., 1: c + 1]
-        # earlier-sample inverses multiply from the left
-        # (Ti_total = V_0 V_1 ... V_last); column update: 2x2 dot per
-        # coefficient slot of the degree-1 factor
-        a0, b0 = ti[..., 0, 0, 0, None], ti[..., 0, 1, 0, None]
-        c0, d0 = ti[..., 1, 0, 0, None], ti[..., 1, 1, 0, None]
-        a1, b1 = ti[..., 0, 0, 1, None], ti[..., 0, 1, 1, None]
-        c1, d1 = ti[..., 1, 0, 1, None], ti[..., 1, 1, 1, None]
+        # the one-sample inverse factor is structurally sparse:
+        #   Ti = z [[scl, -scl q], [0, 0]] + [[0, 0], [scl k conj(q), scl]]
+        # so (Ti @ T)[1 : c+1] and the left column accumulation collapse
+        # to two row combinations each (no generic polymatmul needed)
+        scl = ti[..., 0, 0, 1]
+        mq = ti[..., 0, 1, 1]                    # -scl * q
+        kcq = ti[..., 1, 0, 0]                   # scl * kappa * conj(q)
+        s_, m_, k_ = (scl[..., None, None], mq[..., None, None],
+                      kcq[..., None, None])
+        row0, row1 = t_cur[..., 0, :, :], t_cur[..., 1, :, :]
+        t_next = jnp.stack(
+            [s_ * row0 + m_ * row1,
+             jnp.pad((k_ * row0 + s_ * row1)[..., 1:],
+                     [(0, 0)] * (row0.ndim - 1) + [(0, 1)])], axis=-3)
         u, v = acc[..., 0, :], acc[..., 1, :]
-        r0 = a0 * u + b0 * v
-        r1 = c0 * u + d0 * v
-        s0 = a1 * u + b1 * v
-        s1 = c1 * u + d1 * v
-        acc = jnp.stack([r0.at[..., 1:].add(s0[..., :-1]),
-                         r1.at[..., 1:].add(s1[..., :-1])], axis=-2)
+        sa, ma, ka = scl[..., None], mq[..., None], kcq[..., None]
+        s0 = sa * u + ma * v                     # z-coefficient row 0
+        acc = jnp.stack(
+            [jnp.pad(s0[..., :-1], [(0, 0)] * (u.ndim - 1) + [(1, 0)]),
+             ka * u + sa * v], axis=-2)
         return (t_next, acc), q_s
 
     eye = jnp.zeros(t.shape[:-3] + (2, c), dtype=t.dtype)
@@ -214,7 +230,7 @@ def _recurse(t, deg: int, eps_t: float, kappa: int, disc: Discretization,
     t2_approx = t[..., :d2 + 1]
     q_hi, t2i = _recurse(t2_approx, d2, eps_t, kappa, disc, True)
     # T1 = T2i * T; true T1 sits in the coefficient window [d2, deg]
-    prod = _polymatmul(t2i, t, out_len=deg + 1, a_jsym=kappa)
+    prod = _polymatmul(t2i, t, out_len=deg + 1, a_jsym=kappa, safe_from=d2)
     t1 = prod[..., d2: deg + 1]
     q_lo, t1i = _recurse(t1, d2, eps_t, kappa, disc, need_inverse)
     ti = _polymatmul(t1i, t2i, jsym=kappa) if need_inverse else None
@@ -233,7 +249,7 @@ def _recurse_jit(t, deg: int, eps_t: float, kappa: int,
 @partial(jax.jit, static_argnames=("d2", "deg", "kappa"))
 def _t1_stage(t2i, t, d2: int, deg: int, kappa: int):
     """T1 window: (T2i @ T)[d2 : deg+1], T2i J-symmetric."""
-    prod = _polymatmul(t2i, t, out_len=deg + 1, a_jsym=kappa)
+    prod = _polymatmul(t2i, t, out_len=deg + 1, a_jsym=kappa, safe_from=d2)
     return prod[..., d2: deg + 1]
 
 
