@@ -107,8 +107,25 @@ def locate_boundstates_tpu(q128, t_span, *, dsub_hint: int = 0,
     qs = q128[::stride]
 
     fn = boundstate_init_pipeline(dsub, eps_sub, num_iters=num_iters)
-    zr, zi = fn(jnp.asarray(qs.real.astype(np.float32)),
-                jnp.asarray(qs.imag.astype(np.float32)))
+    args = (jnp.asarray(qs.real.astype(np.float32)),
+            jnp.asarray(qs.imag.astype(np.float32)))
+    try:
+        zr, zi = fn(*args)
+    except Exception:
+        # the auto-enabled Pallas repulsion has only been hardware-
+        # validated as a standalone call; if the kernel fails inside the
+        # Aberth while_loop on this backend, fall back to the XLA
+        # repulsion once and retry (set_pallas_repulsion clears caches)
+        from fnft_tpu.ops import roots as roots_mod
+
+        if roots_mod._PALLAS_REPULSION is None \
+                and jax.default_backend() == "tpu":
+            roots_mod.set_pallas_repulsion(False)
+            fn = boundstate_init_pipeline(dsub, eps_sub,
+                                          num_iters=num_iters)
+            zr, zi = fn(*args)
+        else:
+            raise
     z = np.asarray(zr, np.float64) + 1j * np.asarray(zi, np.float64)
     # z = exp(2 i lam eps_sub / deg1), deg1 = 2 for SPLIT4B
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -261,14 +261,59 @@ print('STAGE_JSON ' + json.dumps(rec))
 """
 
 FULLSPEC_STAGE = _PRELUDE + """
+import traceback
 from fnft_tpu.testcases import NsevTestcase, nsev_testcase, nsev_errors
-from fnft_tpu.ops.tpu_fullspec import nsev_fullspec_df64
+from fnft_tpu.ops.tpu_fullspec import (locate_boundstates_tpu,
+                                       nsev_fullspec_df64)
+from fnft_tpu.ops.df64_boundstates import (ab_at_states_df64,
+                                           newton_refine_df64)
+from fnft_tpu.ops.df64_pipeline import rho_pipeline_df64_tabled
 
 d = cfg['d']
 data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
 q = np.asarray(data.q, np.complex128)
 m = data.m if cfg.get('harness') else d
 xi = data.xi_span
+phase = 'contspec'
+times = {}
+try:
+    # phase-by-phase warm pass (pinpoints failures; fills compile cache)
+    t0 = time.perf_counter()
+    fn = rho_pipeline_df64_tabled(d, m, data.t_span, xi)
+    re_, im_ = np.real(q), np.imag(q)
+    planes = []
+    for v in (re_, im_):
+        h_ = v.astype(np.float32)
+        planes += [jnp.asarray(h_),
+                   jnp.asarray((v - h_.astype(np.float64)).astype(np.float32))]
+    rho4 = fn(planes[0], planes[1], planes[2], planes[3])
+    sync_scalar(rho4[0])
+    times['contspec'] = time.perf_counter() - t0
+    print('MARK contspec ok', flush=True)
+    phase = 'locate'
+    t0 = time.perf_counter()
+    cand = locate_boundstates_tpu(q, data.t_span)
+    times['locate'] = time.perf_counter() - t0
+    print('MARK locate ok n=%d' % cand.size, flush=True)
+    phase = 'newton'
+    t0 = time.perf_counter()
+    k_pad = 1 << max(0, (cand.size - 1)).bit_length()
+    lam0 = np.concatenate([cand, np.full(k_pad - cand.size, cand[-1])])
+    lam = newton_refine_df64(q, lam0, data.t_span, niter=10)
+    times['newton'] = time.perf_counter() - t0
+    print('MARK newton ok', flush=True)
+    phase = 'ab'
+    t0 = time.perf_counter()
+    _a, ap, b = ab_at_states_df64(q, lam[:cand.size], data.t_span)
+    times['ab'] = time.perf_counter() - t0
+    print('MARK ab ok', flush=True)
+except Exception as e:
+    tb = traceback.format_exc().strip().splitlines()
+    print('STAGE_ERR phase=%s: %s | %s' % (
+        phase, repr(e)[:300].replace(chr(10), ' '),
+        ' || '.join(tb[-4:])[:400].replace(chr(10), ' ')))
+    raise SystemExit(1)
+
 t0 = time.perf_counter()
 out = nsev_fullspec_df64(q, data.t_span, m=m, xi_span=xi, niter=10)
 cold = time.perf_counter() - t0
@@ -293,7 +338,7 @@ checked = {k: v for k, v in bounds.items()
            if errs.get(k) is not None}
 ok = all(errs[k] <= v for k, v in checked.items())
 rec = dict(cfg)
-rec.update(best_seconds=best, cold_seconds=cold,
+rec.update(best_seconds=best, cold_seconds=cold, phase_seconds=times,
            errors={k: errs.get(k) for k in bounds},
            c128_reference_bounds=bounds, n_states=int(len(out['bound_states'])),
            within_c128_reference_bound=bool(ok),
@@ -584,8 +629,14 @@ def main() -> int:
                         f"best={rec.get('best_seconds', float('nan')):.4f}s "
                         f"acc={rec.get('accuracy_check_passed', rec.get('within_c64_budget'))}")
                 else:
-                    tail = out.strip().splitlines()[-1][:120] if out.strip() else "?"
-                    log(f"stage {st['name']} FAIL: {tail}")
+                    lines = out.strip().splitlines()
+                    err = next((ln for ln in lines
+                                if ln.startswith("STAGE_ERR")), None)
+                    mark = [ln for ln in lines if ln.startswith("MARK ")]
+                    tail = err or (lines[-1][:120] if lines else "?")
+                    if mark and not err:
+                        tail = f"{tail} (last {mark[-1]})"
+                    log(f"stage {st['name']} FAIL: {tail[:400]}")
                     break  # tunnel likely degraded; next probe cycle
             else:
                 if not args.redo and done_stages() >= {s["name"] for s in STAGES}:
