@@ -141,6 +141,186 @@ def _polymatmul(a, b, out_len=None, a_jsym: int | None = None,
     return out
 
 
+# ---------------------------------------------------------------------------
+# column-only carry: J-symmetry + row-action structure make the whole
+# recursion a function of the FIRST matrix column alone
+# ---------------------------------------------------------------------------
+# Two independent facts compose:
+#  * every block (T windows and Ti inverses) is J-symmetric, so its
+#    second column is the involution of the first — products against it
+#    need only first-column FFT bins (_fft_jsym);
+#  * left-multiplication acts on ROWS, so the two columns of T evolve
+#    independently through the peel, and every read (base-case ratio
+#    T10/T00, coefficient windows, the q samples) touches column 1 only.
+# Carrying (c11, c21) instead of [2, 2, c] halves the peel-scan
+# arithmetic and drops the t1 window product from 10 transforms
+# (2 fwd a + 4 fwd b + 4 inv) to 6 (2 + 2 + 2).
+
+
+def _fft_jsym_col(c11, c21, length: int, kappa: int):
+    """J-symmetric FFT bins from first-column coefficient arrays."""
+    f11 = jnp.fft.fft(c11, n=length, axis=-1)
+    f21 = jnp.fft.fft(c21, n=length, axis=-1)
+    n = c11.shape[-1] - 1
+    k = jnp.arange(length, dtype=jnp.result_type(c11.real))
+    w = jnp.exp((-2j * jnp.pi * n / length) * k).astype(c11.dtype)
+    return f11, (-kappa) * (w * jnp.conj(f21)), f21, w * jnp.conj(f11)
+
+
+def _polymatmul_col(a_col, b_col, kappa: int, out_len=None,
+                    safe_from: int = 0):
+    """First column of (A @ B) for J-symmetric A given B's first column.
+
+    a_col, b_col: (c11, c21) ascending-coefficient pairs. Output column
+    (o11, o21) of length out_len (or full). ``safe_from`` as in
+    :func:`_polymatmul` (alias-shortened circular transforms).
+    """
+    a11, a21 = a_col
+    b11, b21 = b_col
+    ca, cb = a11.shape[-1], b11.shape[-1]
+    n_out = ca + cb - 1
+    if min(ca, cb) <= _FFT_THRESHOLD:
+        # direct: materialize A's second-column coefficients (cheap) and
+        # convolve four column pairs
+        a12 = -kappa * jnp.conj(a21[..., ::-1])
+        o11 = jnp.zeros(b11.shape[:-1] + (n_out,), b11.dtype)
+        o21 = jnp.zeros_like(o11)
+        a22 = jnp.conj(a11[..., ::-1])
+        for s in range(ca):
+            o11 = o11.at[..., s:s + cb].add(
+                a11[..., s:s + 1] * b11 + a12[..., s:s + 1] * b21)
+            o21 = o21.at[..., s:s + cb].add(
+                a21[..., s:s + 1] * b11 + a22[..., s:s + 1] * b21)
+    else:
+        length = next_fft_length(max(n_out - safe_from,
+                                     (out_len or n_out) - safe_from))
+        fa11, fa12, fa21, fa22 = _fft_jsym_col(a11, a21, length, kappa)
+        fb11 = jnp.fft.fft(b11, n=length, axis=-1)
+        fb21 = jnp.fft.fft(b21, n=length, axis=-1)
+        v11 = fa11 * fb11 + fa12 * fb21
+        v21 = fa21 * fb11 + fa22 * fb21
+        o11 = jnp.fft.ifft(v11, axis=-1).astype(b11.dtype)
+        o21 = jnp.fft.ifft(v21, axis=-1).astype(b11.dtype)
+        keep = min(n_out, o11.shape[-1])
+        o11, o21 = o11[..., :keep], o21[..., :keep]
+    if out_len is not None:
+        o11, o21 = o11[..., :out_len], o21[..., :out_len]
+    return o11, o21
+
+
+def _base_case_col(c11_0, c21_0, eps_t: float, kappa: int,
+                   disc: Discretization):
+    """One-sample inversion from the two lowest first-column coefficients.
+
+    Returns (q_sample, scl, qq): Ti's nonzero entries are
+    z [[scl, -scl qq], [0, 0]] + [[0, 0], [scl kappa conj(qq), scl]].
+    """
+    qq = -kappa * jnp.conj(c21_0 / c11_0)
+    abs_q = jnp.abs(qq)
+    scl = 1.0 / jnp.sqrt((1.0 + kappa * abs_q * abs_q).astype(c11_0.dtype))
+    if disc is Discretization.SPLIT2A:
+        q_sample = jnp.arctan(abs_q) * jnp.exp(1j * jnp.angle(qq)) / eps_t
+    elif disc is Discretization.SPLIT2_MODAL:
+        q_sample = qq / eps_t
+    else:
+        raise ValueError(
+            f"finvscatter supports 2SPLIT2A/2SPLIT2_MODAL, got {disc}")
+    return q_sample, scl, qq
+
+
+def _peel_scan_col(t_col, deg: int, eps_t: float, kappa: int,
+                   disc: Discretization):
+    """Column-only sequential peel (cf. :func:`_peel_scan`'s math)."""
+    c = deg + 1
+
+    def step(carry, _):
+        (c11, c21), (u, v) = carry
+        q_s, scl, qq = _base_case_col(c11[..., 0], c21[..., 0], eps_t,
+                                      kappa, disc)
+        s_, q_ = scl[..., None], qq[..., None]
+        kq = (kappa * scl * jnp.conj(qq))[..., None]
+        c11n = s_ * c11 - s_ * q_ * c21
+        c21n = jnp.pad((kq * c11 + s_ * c21)[..., 1:],
+                       [(0, 0)] * (c11.ndim - 1) + [(0, 1)])
+        s0 = s_ * u - s_ * q_ * v
+        un = jnp.pad(s0[..., :-1], [(0, 0)] * (u.ndim - 1) + [(1, 0)])
+        vn = kq * u + s_ * v
+        return ((c11n, c21n), (un, vn)), q_s
+
+    lead = t_col[0].shape[:-1]
+    u0 = jnp.zeros(lead + (c,), t_col[0].dtype).at[..., 0].set(1.0)
+    v0 = jnp.zeros_like(u0)
+    (_, acc), q_rev = jax.lax.scan(step, (t_col, (u0, v0)), None,
+                                   length=deg)
+    q = jnp.moveaxis(q_rev, 0, -1)[..., ::-1]
+    return q, acc
+
+
+def _recurse_col(t_col, deg: int, eps_t: float, kappa: int,
+                 disc: Discretization, need_inverse: bool):
+    """Column-carry recursion: (q [..., deg], ti_col or None)."""
+    if 1 < deg <= _SCAN_CUTOFF:
+        q, ti_col = _peel_scan_col(t_col, deg, eps_t, kappa, disc)
+        return q, (ti_col if need_inverse else None)
+    if deg == 1:
+        q_s, scl, qq = _base_case_col(t_col[0][..., 0], t_col[1][..., 0],
+                                      eps_t, kappa, disc)
+        z = jnp.zeros_like(scl)
+        i11 = jnp.stack([z, scl], axis=-1)
+        i21 = jnp.stack([kappa * scl * jnp.conj(qq), z], axis=-1)
+        return q_s[..., None], ((i11, i21) if need_inverse else None)
+    d2 = deg // 2
+    t2_col = (t_col[0][..., :d2 + 1], t_col[1][..., :d2 + 1])
+    q_hi, t2i = _recurse_col(t2_col, d2, eps_t, kappa, disc, True)
+    prod = _polymatmul_col(t2i, t_col, kappa, out_len=deg + 1,
+                           safe_from=d2)
+    t1_col = (prod[0][..., d2: deg + 1], prod[1][..., d2: deg + 1])
+    q_lo, t1i = _recurse_col(t1_col, d2, eps_t, kappa, disc, need_inverse)
+    ti = _polymatmul_col(t1i, t2i, kappa) if need_inverse else None
+    return jnp.concatenate([q_lo, q_hi], axis=-1), ti
+
+
+@partial(jax.jit,
+         static_argnames=("deg", "eps_t", "kappa", "disc", "need_inverse"))
+def _recurse_col_jit(t11, t21, deg: int, eps_t: float, kappa: int,
+                     disc: Discretization, need_inverse: bool):
+    q, ti = _recurse_col((t11, t21), deg, eps_t, kappa, disc, need_inverse)
+    return (q, ti[0], ti[1]) if need_inverse else (q,)
+
+
+@partial(jax.jit, static_argnames=("d2", "deg", "kappa"))
+def _t1_stage_col(i11, i21, t11, t21, d2: int, deg: int, kappa: int):
+    o11, o21 = _polymatmul_col((i11, i21), (t11, t21), kappa,
+                               out_len=deg + 1, safe_from=d2)
+    return o11[..., d2: deg + 1], o21[..., d2: deg + 1]
+
+
+@partial(jax.jit, static_argnames=("kappa",))
+def _merge_stage_col(a11, a21, b11, b21, kappa: int):
+    return _polymatmul_col((a11, a21), (b11, b21), kappa)
+
+
+def _recurse_staged_col(t_col, deg: int, eps_t: float, kappa: int,
+                        disc: Discretization, need_inverse: bool,
+                        out: list, offset: int):
+    if deg <= _STAGED_LEAF_DEG:
+        res = _recurse_col_jit(t_col[0], t_col[1], deg, eps_t, kappa,
+                               disc, need_inverse)
+        out.append((offset, res[0]))
+        return (res[1], res[2]) if need_inverse else None
+    d2 = deg // 2
+    t2_col = (t_col[0][..., :d2 + 1], t_col[1][..., :d2 + 1])
+    t2i = _recurse_staged_col(t2_col, d2, eps_t, kappa, disc, True, out,
+                              offset + d2)
+    t1_col = _t1_stage_col(t2i[0], t2i[1], t_col[0], t_col[1], d2, deg,
+                           kappa)
+    t1i = _recurse_staged_col(t1_col, d2, eps_t, kappa, disc,
+                              need_inverse, out, offset)
+    if not need_inverse:
+        return None
+    return _merge_stage_col(t1i[0], t1i[1], t2i[0], t2i[1], kappa)
+
+
 def _base_case(t, eps_t: float, kappa: int, disc: Discretization):
     """One-sample inversion (reference :167-227).
 
@@ -284,7 +464,8 @@ def _recurse_staged(t, deg: int, eps_t: float, kappa: int,
 @partial(jax.jit, static_argnames=("eps_t", "kappa", "disc"))
 def _finvscatter_traced(t, eps_t: float, kappa: int, disc: Discretization):
     deg = t.shape[-1] - 1
-    q, _ = _recurse(t, deg, eps_t, kappa, disc, need_inverse=False)
+    q, _ = _recurse_col((t[..., 0, 0, :], t[..., 1, 0, :]), deg, eps_t,
+                        kappa, disc, need_inverse=False)
     return q
 
 
@@ -307,6 +488,7 @@ def finvscatter(transfer_matrix, eps_t: float, kappa: int,
     if isinstance(t, jax.core.Tracer) or deg < _STAGED_MIN_DEG:
         return _finvscatter_traced(t, eps_t, kappa, disc)
     out: list = []
-    _recurse_staged(t, deg, eps_t, kappa, disc, False, out, 0)
+    _recurse_staged_col((t[..., 0, 0, :], t[..., 1, 0, :]), deg, eps_t,
+                        kappa, disc, False, out, 0)
     out.sort(key=lambda kv: kv[0])
     return jnp.concatenate([blk for _, blk in out], axis=-1)
