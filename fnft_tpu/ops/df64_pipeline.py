@@ -21,7 +21,7 @@ float32 pairs.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -491,6 +491,23 @@ def rho_pipeline_df64_tabled(d: int, m: int, t_span, xi_span, *,
                              kappa: int = 1,
                              disc: Discretization = Discretization.SPLIT4B,
                              batch: int | None = None):
+    """Reference-accuracy contspec as one jitted real-f32 program (memoized).
+
+    Construction requires RE-TRACING the deep df64 program (tens of
+    seconds of pure Python at D=4096+), so built pipelines are cached per
+    geometry — the first hardware fullspec run spent 200+ s/call
+    rebuilding identical pipelines (TPU_MEASUREMENTS fullspec record).
+    """
+    return _rho_pipeline_df64_cached(d, m, (float(t_span[0]),
+                                            float(t_span[1])),
+                                     (float(xi_span[0]), float(xi_span[1])),
+                                     kappa, disc, batch)
+
+
+@lru_cache(maxsize=32)
+def _rho_pipeline_df64_cached(d: int, m: int, t_span, xi_span,
+                              kappa: int, disc: Discretization,
+                              batch: int | None):
     """Reference-accuracy contspec as one jitted real-f32 program.
 
     The complex-free twin of :func:`nsev_contspec_df64` for TPU backends
@@ -704,6 +721,16 @@ def kdvv_contspec_df64(u128, *, d: int, m: int, t_span, xi_span,
 def kdvv_pipeline_df64_tabled(d: int, m: int, t_span, xi_span, *,
                               disc: Discretization = Discretization.SPLIT4B,
                               batch: int | None = None):
+    """Memoized wrapper (same re-tracing cost note as the rho pipeline)."""
+    return _kdvv_pipeline_df64_cached(d, m, (float(t_span[0]),
+                                             float(t_span[1])),
+                                      (float(xi_span[0]),
+                                       float(xi_span[1])), disc, batch)
+
+
+@lru_cache(maxsize=16)
+def _kdvv_pipeline_df64_cached(d: int, m: int, t_span, xi_span,
+                               disc: Discretization, batch: int | None):
     """KdV reflection coefficient as ONE jitted real-f32 program.
 
     The tabled (TPU-executable) twin of :func:`kdvv_contspec_df64`: takes

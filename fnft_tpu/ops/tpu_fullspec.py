@@ -21,6 +21,7 @@ power-of-two grids.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +53,14 @@ def boundstate_init_pipeline(dsub: int, eps_sub: float, *, kappa: int = 1,
 
     SPLIT4B transfer polynomial P11 via the rc J-symmetric value tree,
     then Newton-polygon + Aberth sweeps, all on device in f32 pairs.
+    Memoized per geometry: rebuilding re-traces the rc tree.
     """
+    return _boundstate_init_cached(dsub, float(eps_sub), kappa, num_iters)
+
+
+@lru_cache(maxsize=32)
+def _boundstate_init_cached(dsub: int, eps_sub: float, kappa: int,
+                            num_iters: int):
     def fn(q_re, q_im):
         col = _split4b_column((q_re, q_im), eps_sub, kappa)
         rows = _tree_column_rc(col, kappa)

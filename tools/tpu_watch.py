@@ -314,12 +314,23 @@ except Exception as e:
         ' || '.join(tb[-4:])[:400].replace(chr(10), ' ')))
     raise SystemExit(1)
 
-t0 = time.perf_counter()
-out = nsev_fullspec_df64(q, data.t_span, m=m, xi_span=xi, niter=10)
-cold = time.perf_counter() - t0
-t0 = time.perf_counter()
-out = nsev_fullspec_df64(q, data.t_span, m=m, xi_span=xi, niter=10)
-best = time.perf_counter() - t0
+try:
+    phase = 'composed_cold'
+    t0 = time.perf_counter()
+    out = nsev_fullspec_df64(q, data.t_span, m=m, xi_span=xi, niter=10)
+    cold = time.perf_counter() - t0
+    print('MARK composed cold ok', flush=True)
+    phase = 'composed_warm'
+    t0 = time.perf_counter()
+    out = nsev_fullspec_df64(q, data.t_span, m=m, xi_span=xi, niter=10)
+    best = time.perf_counter() - t0
+    print('MARK composed warm ok', flush=True)
+except Exception as e:
+    tb = traceback.format_exc().strip().splitlines()
+    print('STAGE_ERR phase=%s: %s | %s' % (
+        phase, repr(e)[:300].replace(chr(10), ' '),
+        ' || '.join(tb[-6:])[:600].replace(chr(10), ' ')))
+    raise SystemExit(1)
 
 class R: pass
 r = R()
@@ -443,6 +454,118 @@ else:
 print('STAGE_JSON ' + json.dumps(rec))
 """
 
+AB_VALIDATION_STAGE = _PRELUDE + """
+# df64 bound-state machinery vs an independent host-f64 reference of the
+# same discrete system (diagnoses the fullspec normconsts gap seen on HW)
+from fnft_tpu.ops.df64_boundstates import (ab_stage_cdf, newton_stage_cdf,
+                                           _split_planes, _join_planes,
+                                           pick_chunk_len)
+from fnft_tpu.testcases import NsevTestcase, nsev_testcase
+
+d = cfg['d']
+data = nsev_testcase(NsevTestcase.SECH_FOCUSING, d)
+q = np.asarray(data.q, np.complex128)
+lam0 = np.asarray(data.bound_states, np.complex128)
+t0_, t1_ = data.t_span
+eps = (t1_ - t0_) / (d - 1)
+tb = t0_ - 0.5 * eps
+te = t1_ + 0.5 * eps
+r = -np.conj(q)
+K = lam0.size
+
+
+def step_mats(lam, n_, h_):
+    ks = q[n_] * r[n_] - lam ** 2
+    k_ = np.sqrt(ks.astype(complex))
+    ch = np.cosh(k_ * h_)
+    sh = np.sinh(k_ * h_) / k_
+    g_ = (h_ * ch - sh) / ks
+    U = np.empty((lam.size, 2, 2), complex)
+    U[:, 0, 0] = ch - 1j * lam * sh
+    U[:, 0, 1] = q[n_] * sh
+    U[:, 1, 0] = r[n_] * sh
+    U[:, 1, 1] = ch + 1j * lam * sh
+    dU = np.empty_like(U)
+    dU[:, 0, 0] = 1j * lam ** 2 * g_ - (lam * h_ + 1j) * sh
+    dU[:, 0, 1] = -q[n_] * lam * g_
+    dU[:, 1, 0] = -r[n_] * lam * g_
+    dU[:, 1, 1] = -1j * lam ** 2 * g_ - (lam * h_ - 1j) * sh
+    return U, dU
+
+
+def host_sweep(lam, want_traj=False):
+    T = np.broadcast_to(np.eye(2, dtype=complex),
+                        (lam.size, 2, 2)).copy()
+    Td = np.zeros_like(T)
+    phis = np.zeros((d + 1, lam.size, 2), complex)
+    phis[0, :, 0] = 1.0
+    for n_ in range(d):
+        U, dU = step_mats(lam, n_, eps)
+        Td = dU @ T + U @ Td
+        T = U @ T
+        if want_traj:
+            phis[n_ + 1] = T[:, :, 0]
+    a_ = T[:, 0, 0]
+    ap_ = Td[:, 0, 0] + 1j * (te - tb) * a_
+    if not want_traj:
+        return a_, ap_, None, None
+    psis = np.zeros((d + 1, lam.size, 2), complex)
+    psis[d, :, 1] = 1.0
+    S = np.broadcast_to(np.eye(2, dtype=complex),
+                        (lam.size, 2, 2)).copy()
+    for n_ in range(d - 1, -1, -1):
+        U, _ = step_mats(lam, n_, -eps)
+        S = U @ S
+        psis[n_] = S[:, :, 1]
+    return a_, ap_, phis, psis
+
+
+# ---- Newton cross-check: device vs host from the same perturbed seeds --
+seeds = lam0 + (0.003 - 0.004j)
+lam_host = seeds.copy()
+for _ in range(10):
+    a_, ap_, _, _ = host_sweep(lam_host)
+    lam_host = lam_host - a_ / ap_
+chunk = pick_chunk_len(d, eps, float(np.abs(lam0.imag).max()) + 1.0)
+box = jnp.asarray(np.float32([-1e30, 1e30, 0.0, 1e30]))
+nout = newton_stage_cdf(_split_planes(q), _split_planes(seeds), box, 10,
+                        float(eps), float(te - tb), int(chunk))
+lam_dev = (np.asarray(nout[0], np.float64) + np.asarray(nout[1], np.float64)
+           + 1j * (np.asarray(nout[2], np.float64)
+                   + np.asarray(nout[3], np.float64)))
+newton_diff = float(np.max(np.abs(lam_dev - lam_host)))
+
+# ---- ab sweep cross-check at the host-refined states -------------------
+a_ref, ap_ref, phis, psis = host_sweep(lam_host, want_traj=True)
+with np.errstate(all='ignore'):
+    ratio = (phis[..., 1] / psis[..., 1]) / (phis[..., 0] / psis[..., 0])
+    met = np.abs(0.5 * np.log(np.abs(ratio)))
+met = np.where(np.isnan(met), np.inf, met)
+jbest = np.argmin(met, axis=0)
+b_ref_hat = phis[jbest, np.arange(K), 0] / psis[jbest, np.arange(K), 0]
+out = ab_stage_cdf(_split_planes(q), _split_planes(lam_host), float(eps),
+                   int(chunk))
+ap_hat = (_join_planes(out['ap_hat'])
+          + 1j * (te - tb) * _join_planes(out['a_hat'])) * np.exp2(
+    np.asarray(out['w_a'], np.float64))
+b_hat = _join_planes(out['b_hat']) * np.exp2(
+    np.asarray(out['w_b'], np.float64))
+rec = dict(cfg)
+rec.update(
+    newton_dev_vs_host=newton_diff,
+    ap_rel=float(np.max(np.abs(ap_hat - ap_ref) / np.abs(ap_ref))),
+    b_rel=float(np.max(np.abs(b_hat - b_ref_hat) / np.abs(b_ref_hat))),
+    metric_dev=[float(x) for x in np.asarray(out['metric'])],
+    metric_ref=[float(met[jbest[k2], k2]) for k2 in range(K)],
+    jbest_ref=[int(x) for x in jbest],
+    platform=jax.devices()[0].platform,
+    ts=time.strftime('%Y-%m-%dT%H:%M:%S'))
+rec['accuracy_check_passed'] = bool(rec['ap_rel'] < 1e-10
+                                    and rec['b_rel'] < 1e-10
+                                    and newton_diff < 1e-10)
+print('STAGE_JSON ' + json.dumps(rec))
+"""
+
 ROOTS_CEILING_STAGE = _PRELUDE + """
 from fnft_tpu.ops.tpu_roots import poly_roots_rc, polish_certify_cdf
 from fnft_tpu.ops.roots import certified_tol
@@ -526,7 +649,11 @@ STAGES = [
          repulsion=True, timeout=1800),
     dict(name="kdvv_df64_harness_D4096", d=1 << 12, reps=3, kdvv=True,
          harness=True, timeout=1800),
-    dict(name="fullspec_D4096_harness", d=1 << 12, fullspec=True,
+    dict(name="ab_validation_D512", d=512, ab_validation=True,
+         timeout=1800),
+    dict(name="ab_validation_D4096", d=1 << 12, ab_validation=True,
+         timeout=1800),
+    dict(name="fullspec_D4096_harness_v2", d=1 << 12, fullspec=True,
          harness=True, timeout=2400),
     dict(name="df64_single_D262144", d=1 << 18, m=1 << 18, reps=3,
          expect_rho0=0.7265425, df64=True, timeout=3000),
@@ -598,6 +725,8 @@ def main() -> int:
                 tmo = st.get("timeout", 600 if st["d"] < (1 << 18) else 1500)
                 if st.get("roots_ceiling"):
                     template = ROOTS_CEILING_STAGE
+                elif st.get("ab_validation"):
+                    template = AB_VALIDATION_STAGE
                 elif st.get("repulsion"):
                     template = REPULSION_STAGE
                 elif st.get("fullspec"):
