@@ -374,7 +374,8 @@ def _recorded_tpu_highlights(log2d: int) -> dict:
     if fspec and fspec.get("accuracy_check_passed"):
         out["recorded_tpu_fullspec_seconds"] = fspec["best_seconds"]
         out["recorded_tpu_fullspec_errors"] = fspec.get("errors")
-    fh = latest.get("fullspec_D4096_harness")
+    fh = latest.get("fullspec_D4096_harness_v2") \
+        or latest.get("fullspec_D4096_harness")
     if fh and "within_c128_reference_bound" in fh:
         out["recorded_tpu_fullspec_D4096_within_reference_bounds"] = \
             fh["within_c128_reference_bound"]

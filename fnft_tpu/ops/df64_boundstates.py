@@ -331,9 +331,13 @@ def newton_stage_cdf(q_planes, lam_planes, box, niter: int, h: float,
         step = _cdf_div_guarded(a_hat, ap_hat)
         sr = step[0][0] + step[0][1]
         si = step[1][0] + step[1][1]
+        # cdf_sub, NOT per-plane subtraction: hi - step_hi rounds away
+        # any correction below ulp_f32(lam) instead of pushing it into
+        # the lo plane, which capped Newton at ~1e-8 absolute on
+        # hardware (the fullspec normconsts regression)
+        lam_sub = cdf_sub(lam, step)
         lam_new = jax.tree.map(
-            lambda t_, s: jnp.where(active, t_ - s, t_),
-            lam, ((step[0][0], step[0][1]), (step[1][0], step[1][1])))
+            lambda new, old: jnp.where(active, new, old), lam_sub, lam)
         re = lam_new[0][0] + lam_new[0][1]
         im = lam_new[1][0] + lam_new[1][1]
         in_box = ((re >= box[0]) & (re <= box[1])
