@@ -653,6 +653,10 @@ STAGES = [
          timeout=1800),
     dict(name="ab_validation_D4096", d=1 << 12, ab_validation=True,
          timeout=1800),
+    # rerun of the D=512 validation with the fixed Newton update (the
+    # first record is the acc=False diagnostic of the pre-fix code)
+    dict(name="ab_validation_D512_v2", d=512, ab_validation=True,
+         timeout=1800),
     dict(name="fullspec_D4096_harness_v2", d=1 << 12, fullspec=True,
          harness=True, timeout=2400),
     dict(name="df64_single_D262144", d=1 << 18, m=1 << 18, reps=3,
