@@ -420,15 +420,23 @@ else:
     m = d
     rho_ref = None
     disc = Discretization.SPLIT8B
-fn = kdvv_pipeline_df64_tabled(d, m, t_span, xi_span, disc=disc)
-uh = u.astype(np.float32)
-ul = (u - uh.astype(np.float64)).astype(np.float32)
-z = np.zeros_like(uh)
-args = [jax.device_put(jnp.asarray(x)) for x in (uh, ul, z, z)]
-t0 = time.perf_counter()
-out = fn(*args)
-sync_scalar(out[0])
-compile_s = time.perf_counter() - t0
+import traceback
+try:
+    fn = kdvv_pipeline_df64_tabled(d, m, t_span, xi_span, disc=disc)
+    uh = u.astype(np.float32)
+    ul = (u - uh.astype(np.float64)).astype(np.float32)
+    z = np.zeros_like(uh)
+    args = [jax.device_put(jnp.asarray(x)) for x in (uh, ul, z, z)]
+    t0 = time.perf_counter()
+    out = fn(*args)
+    sync_scalar(out[0])
+    compile_s = time.perf_counter() - t0
+except Exception as e:
+    tb = traceback.format_exc().strip().splitlines()
+    print('STAGE_ERR kdvv: %s | %s' % (
+        repr(e)[:300].replace(chr(10), ' '),
+        ' || '.join(tb[-6:])[:600].replace(chr(10), ' ')))
+    raise SystemExit(1)
 best = float('inf')
 for _ in range(cfg['reps']):
     t0 = time.perf_counter()
