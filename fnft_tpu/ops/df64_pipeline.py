@@ -788,6 +788,79 @@ def _kdvv_pipeline_df64_cached(d: int, m: int, t_span, xi_span,
     return tables.jit_tabled(body, ex)
 
 
+def kdvv_pipeline_df64_staged(d: int, m: int, t_span, xi_span, *,
+                              disc: Discretization = Discretization.SPLIT8B):
+    """Two-program KdV pipeline for compile-helper-sized geometries.
+
+    The one-program :func:`kdvv_pipeline_df64_tabled` at the C-anchor
+    config (2SPLIT8B, D=M=2^17) produced a compile payload that the
+    axon remote compile helper OOM-kills (SIGKILL; the same failure
+    class as round 4's inlined-table 234 MB StableHLO). Splitting at the
+    transfer-matrix boundary keeps each program within the helper's
+    budget; the intermediate tm planes stay on device between the two
+    jitted calls.
+    """
+    return _kdvv_staged_cached(d, m, (float(t_span[0]), float(t_span[1])),
+                               (float(xi_span[0]), float(xi_span[1])), disc)
+
+
+@lru_cache(maxsize=8)
+def _kdvv_staged_cached(d: int, m: int, t_span, xi_span,
+                        disc: Discretization):
+    from fnft_tpu.ops import tables
+    from fnft_tpu.ops.df64 import cdf_div
+
+    t0, t1 = t_span
+    xi0, xi1 = xi_span
+    eps_t = (t1 - t0) / (d - 1)
+    eps_xi = (xi1 - xi0) / (m - 1)
+    deg1 = max(degree(disc), 1)
+    a_pt = complex(np.exp(-2j * xi0 * eps_t / deg1))
+    w_pt = complex(np.exp(-2j * eps_xi * eps_t / deg1))
+    deg_total = degree(disc) * d
+
+    def stage_a(urh, url, uih, uil):
+        u_cdf = ((urh, url), (uih, uil))
+        ones = jnp.ones(d, jnp.float32)
+        zeros = jnp.zeros(d, jnp.float32)
+        r_cdf = ((-ones, zeros), (zeros, zeros))          # r = -1
+        p = transfer_matrix_coeffs_df64(u_cdf, r_cdf, eps_t, disc)
+        tm, _ = _tree_df64(p, n_true=d, deg_in=degree(disc),
+                           want=((0, 1), (1, 1)))
+        c12 = _cdf_index(tm, (Ellipsis, 0, 1, slice(None)))
+        c22 = _cdf_index(tm, (Ellipsis, 1, 1, slice(None)))
+        return (c12[0][0], c12[0][1], c12[1][0], c12[1][1],
+                c22[0][0], c22[0][1], c22[1][0], c22[1][1])
+
+    def _xi_neg():
+        return -(xi0 + eps_xi * np.arange(m, dtype=np.float64))
+
+    def stage_b(*planes):
+        h12c = ((planes[0], planes[1]), (planes[2], planes[3]))
+        h22c = ((planes[4], planes[5]), (planes[6], planes[7]))
+        h12 = _chirpz_df64(h12c, a_pt, w_pt, m)
+        h22 = _chirpz_df64(h22c, a_pt, w_pt, m)
+        phase = _cdf_reg(
+            ("df64_kdv_phase", m, xi0, xi1, t1, eps_t),
+            lambda: np.exp(2j * _xi_neg() * (t1 + 0.5 * eps_t)))
+        two_i_xi = _cdf_reg(("df64_kdv_2ixi", m, xi0, xi1),
+                            lambda: 2j * _xi_neg())
+        num = cdf_mul(phase, h12)
+        den = cdf_sub(cdf_mul(two_i_xi, h22), h12)
+        rho = cdf_div(num, den)
+        return rho[0][0], rho[0][1], rho[1][0], rho[1][1]
+
+    ex_a = (jax.ShapeDtypeStruct((d,), jnp.float32),) * 4
+    fa = tables.jit_tabled(stage_a, ex_a)
+    ex_b = (jax.ShapeDtypeStruct((deg_total + 1,), jnp.float32),) * 8
+    fb = tables.jit_tabled(stage_b, ex_b)
+
+    def run(urh, url, uih, uil):
+        return fb(*fa(urh, url, uih, uil))
+
+    return run
+
+
 def nsev_boundstates_df64_batched(q128_batch, *, d: int, t_span,
                                   kappa: int = +1,
                                   disc: Discretization = Discretization.SPLIT4B,

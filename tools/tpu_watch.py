@@ -422,7 +422,13 @@ else:
     disc = Discretization.SPLIT8B
 import traceback
 try:
-    fn = kdvv_pipeline_df64_tabled(d, m, t_span, xi_span, disc=disc)
+    if cfg.get('harness'):
+        fn = kdvv_pipeline_df64_tabled(d, m, t_span, xi_span, disc=disc)
+    else:
+        # C-anchor geometry: the one-program compile OOM-kills the
+        # remote helper; use the two-program split
+        from fnft_tpu.ops.df64_pipeline import kdvv_pipeline_df64_staged
+        fn = kdvv_pipeline_df64_staged(d, m, t_span, xi_span, disc=disc)
     uh = u.astype(np.float32)
     ul = (u - uh.astype(np.float64)).astype(np.float32)
     z = np.zeros_like(uh)
